@@ -1,0 +1,141 @@
+"""Typed configuration for TC-Stereo TPU.
+
+The reference drives everything through argparse flags duplicated between
+``train_stereo.py:455-499`` and ``evaluate_stereo.py:354-373``, with the three
+launch scripts acting as de-facto config files. Here a single pair of frozen
+dataclasses replaces that: :class:`ModelConfig` (architecture) and
+:class:`TrainConfig` (recipe), with presets mirroring the three scripts
+(``sceneflow_ddp_train.sh``, ``tartanair_ddp_train.sh``, ``KITTI_ddp_train.sh``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters (reference ``train_stereo.py:480-487``)."""
+
+    hidden_dims: Tuple[int, ...] = (128, 128, 128)
+    context_dims: Tuple[int, ...] = (128, 128, 128)
+    corr_levels: int = 4
+    corr_radius: int = 4
+    n_downsample: int = 2  # disparity field lives at 1/2**n_downsample resolution
+    n_gru_layers: int = 3
+    context_norm: str = "none"  # {'group','batch','instance','none'}
+    shared_backbone: bool = True
+    slow_fast_gru: bool = False  # no launch script enables it
+    mixed_precision: bool = True  # bf16 conv blocks, fp32 correlation/geometry
+    # Threshold used by the cost-volume contrastive loss (``--init_thres``).
+    init_thres: float = 0.5
+    # Margin used by the sparse argmax bootstrap. The reference hard-codes 0.3
+    # in ``core/corr.py:73`` even though ``--init_thres`` is plumbed into the
+    # CorrBlock; we preserve that behaviour but make it explicit.
+    argmax_margin: float = 0.3
+    # Max candidate disparity band suppressed around the main peak (px).
+    argmax_suppress_radius: float = 1.5
+
+    @property
+    def scale_rate(self) -> float:
+        return 1.0 / (2 ** self.n_downsample)
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** self.n_downsample
+
+    @property
+    def corr_planes(self) -> int:
+        return self.corr_levels * (2 * self.corr_radius + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """One training recipe (mirrors the flag sets of the three .sh scripts)."""
+
+    name: str = "TC-Stereo"
+    train_dataset: str = "sceneflow"  # {'sceneflow','TartanAir','kitti_raw'}
+    lr: float = 2e-4
+    num_steps: int = 200_000
+    batch_size: int = 4  # per-process batch (reference: per-GPU batch 4)
+    image_size: Tuple[int, int] = (320, 720)  # (H, W) random crop
+    frame_length: int = 2  # temporal unroll (chunked BPTT window)
+    train_iters: int = 5
+    valid_iters: int = 5
+    wdecay: float = 1e-5
+    grad_clip: float = 1.0
+    seed: int = 1234
+    # Loss weights (reference ``train_stereo.py:364-398``)
+    loss_gamma: float = 0.9
+    normal_loss_weight: float = 0.25
+    grad_loss_weight: float = 5.0
+    init_k: int = 3
+    # Augmentation (reference flags)
+    saturation_range: Optional[Tuple[float, float]] = (0.0, 1.4)
+    img_gamma: Optional[Tuple[float, float]] = None
+    do_flip: Optional[str] = None
+    spatial_scale: Tuple[float, float] = (-0.2, 0.4)
+    yjitter: bool = False  # all recipes pass --noyjitter
+    # Checkpointing / validation cadence
+    validation_frequency: int = 10_000
+    checkpoint_dir: str = "checkpoints"
+    restore_ckpt: Optional[str] = None
+    # Data roots
+    data_root: str = "datasets"
+    # Parallelism: number of data-parallel shards is derived from the mesh at
+    # runtime; batch_size above is per-shard.
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+
+
+def sceneflow_recipe() -> TrainConfig:
+    """``sceneflow_ddp_train.sh``: 200k steps, b4, lr 2e-4, 320x720, fl 2."""
+    return TrainConfig(
+        name="sceneflow_benchmark",
+        train_dataset="sceneflow",
+        lr=2e-4,
+        num_steps=200_000,
+        batch_size=4,
+        image_size=(320, 720),
+        frame_length=2,
+        saturation_range=(0.0, 1.4),
+        spatial_scale=(-0.2, 0.4),
+    )
+
+
+def tartanair_recipe() -> TrainConfig:
+    """``tartanair_ddp_train.sh``: 100k steps, b4, lr 2e-4, 480x640, fl 4."""
+    return TrainConfig(
+        name="ablation_tartanair",
+        train_dataset="TartanAir",
+        lr=2e-4,
+        num_steps=100_000,
+        batch_size=4,
+        image_size=(480, 640),
+        frame_length=4,
+        saturation_range=(0.0, 1.4),
+        spatial_scale=(-0.2, 0.4),
+    )
+
+
+def kitti_raw_recipe(restore: str = "checkpoints/tartanair") -> TrainConfig:
+    """``KITTI_ddp_train.sh``: 60k steps, b4, lr 1e-4, 320x1024, fl 4."""
+    return TrainConfig(
+        name="KITTI_RAW",
+        train_dataset="kitti_raw",
+        lr=1e-4,
+        num_steps=60_000,
+        batch_size=4,
+        image_size=(320, 1024),
+        frame_length=4,
+        saturation_range=(0.7, 1.3),
+        spatial_scale=(-0.2, 0.2),
+        restore_ckpt=restore,
+    )
+
+
+RECIPES = {
+    "sceneflow": sceneflow_recipe,
+    "TartanAir": tartanair_recipe,
+    "kitti_raw": kitti_raw_recipe,
+}

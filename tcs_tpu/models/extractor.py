@@ -1,0 +1,151 @@
+"""Feature / context encoders (reference ``core/extractor.py``).
+
+``MultiBasicEncoder`` (reference :195) produces a 3-scale ladder of
+(net, inp) context pairs at 1/4, 1/8, 1/16 resolution (with n_downsample=2)
+and, in ``dual_inp`` / shared-backbone mode, also returns the 1/4 trunk
+features of the stacked (image1, image2) batch for the matching head.
+
+``BasicEncoder`` (reference :119) is the separate matching-feature network
+used only when the backbone is not shared.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tcs_tpu.models.layers import (
+    Conv,
+    Norm,
+    ResidualBlock,
+    kaiming_normal_fan_out,
+)
+
+
+class _Stage(nn.Module):
+    """Two stacked ResidualBlocks (reference ``_make_layer``)."""
+
+    dim: int
+    norm_fn: str
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResidualBlock(self.dim, self.norm_fn, self.stride,
+                          dtype=self.dtype, name="res1")(x)
+        x = ResidualBlock(self.dim, self.norm_fn, 1, dtype=self.dtype,
+                          name="res2")(x)
+        return x
+
+
+class _OutHead(nn.Module):
+    """ResidualBlock + 3×3 conv output head (reference :225-237)."""
+
+    dim: int
+    norm_fn: str
+    with_res: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_res:
+            x = ResidualBlock(128, self.norm_fn, 1, dtype=self.dtype,
+                              name="res")(x)
+        return Conv(self.dim, 3, 1, 1, kernel_init=kaiming_normal_fan_out,
+                    dtype=self.dtype, name="conv")(x)
+
+
+class MultiBasicEncoder(nn.Module):
+    """Context encoder ladder.
+
+    Returns ``(cnet_list, trunk)`` where cnet_list is a tuple over scales
+    (fine→coarse) of tuples over output sets — with
+    ``output_dims=[hidden_dims, context_dims]`` each scale yields
+    ``(net, inp)``. ``trunk`` is the pre-head 1/4 features (dual_inp mode) or
+    None.
+    """
+
+    output_dims: Sequence[Sequence[int]] = ((128, 128, 128), (128, 128, 128))
+    norm_fn: str = "none"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, dual_inp: bool = False, num_layers: int = 3):
+        x = Conv(64, 7, 1, 3, kernel_init=kaiming_normal_fan_out,
+                 dtype=self.dtype, name="conv1")(x)
+        x = Norm(self.norm_fn, 64, dtype=self.dtype, name="norm1")(x)
+        x = nn.relu(x)
+
+        x = _Stage(64, self.norm_fn, 1, dtype=self.dtype, name="layer1")(x)
+        x = _Stage(96, self.norm_fn, 2, dtype=self.dtype, name="layer2")(x)
+        x = _Stage(128, self.norm_fn, 2, dtype=self.dtype, name="layer3")(x)
+
+        trunk = None
+        if dual_inp:
+            trunk = x
+            x = x[: x.shape[0] // 2]
+
+        outs = []
+        scale04 = tuple(
+            _OutHead(dims[2], self.norm_fn, dtype=self.dtype,
+                     name=f"outputs04_{i}")(x)
+            for i, dims in enumerate(self.output_dims)
+        )
+        outs.append(scale04)
+        if num_layers >= 2:
+            y = _Stage(128, self.norm_fn, 2, dtype=self.dtype, name="layer4")(x)
+            scale08 = tuple(
+                _OutHead(dims[1], self.norm_fn, dtype=self.dtype,
+                         name=f"outputs08_{i}")(y)
+                for i, dims in enumerate(self.output_dims)
+            )
+            outs.append(scale08)
+        if num_layers >= 3:
+            z = _Stage(128, self.norm_fn, 2, dtype=self.dtype, name="layer5")(y)
+            scale16 = tuple(
+                _OutHead(dims[0], self.norm_fn, with_res=False,
+                         dtype=self.dtype, name=f"outputs16_{i}")(z)
+                for i, dims in enumerate(self.output_dims)
+            )
+            outs.append(scale16)
+        return tuple(outs), trunk
+
+
+class BasicEncoder(nn.Module):
+    """Matching-feature encoder (non-shared-backbone path, reference :119)."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    downsample: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stride1 = 1 + (self.downsample > 2)
+        x = Conv(64, 7, stride1, 3, kernel_init=kaiming_normal_fan_out,
+                 dtype=self.dtype, name="conv1")(x)
+        x = Norm(self.norm_fn, 64, dtype=self.dtype, name="norm1")(x)
+        x = nn.relu(x)
+        x = _Stage(64, self.norm_fn, 1, dtype=self.dtype, name="layer1")(x)
+        x = _Stage(96, self.norm_fn, 1 + (self.downsample > 1),
+                   dtype=self.dtype, name="layer2")(x)
+        x = _Stage(128, self.norm_fn, 1 + (self.downsample > 0),
+                   dtype=self.dtype, name="layer3")(x)
+        return Conv(self.output_dim, 1, 1, 0,
+                    kernel_init=kaiming_normal_fan_out, dtype=self.dtype,
+                    name="conv2")(x)
+
+
+class SharedBackboneHead(nn.Module):
+    """Matching head on the shared trunk (reference ``tc_stereo.py:40-43``)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResidualBlock(128, "instance", 1, dtype=self.dtype, name="res")(x)
+        return Conv(256, 3, 1, 1, dtype=self.dtype, name="conv")(x)

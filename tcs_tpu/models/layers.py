@@ -1,0 +1,293 @@
+"""Basic Flax building blocks (NHWC, bf16-compute / fp32-param policy).
+
+Equivalents of the reference's ``core/extractor.py:5`` (``ResidualBlock``) and
+``core/utils/basic_layers.py`` (``BasicConv_IN``, ``Conv2x_IN``), plus
+torch-compatible initialisers and norm layers so a converted reference
+checkpoint reproduces the same function.
+
+Conventions:
+- all convs are NHWC / HWIO (TPU-native);
+- ``param_dtype`` is always fp32; ``dtype`` is the compute dtype (bf16 under
+  the mixed-precision policy, mirroring the reference's autocast regions);
+- normalisation statistics are always computed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Initialisers
+# ---------------------------------------------------------------------------
+
+# torch Conv2d default: kaiming_uniform(a=sqrt(5)) → Var = 1/(3·fan_in).
+torch_default_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+# Reference's explicit init for encoders/update block: kaiming_normal(relu).
+kaiming_normal_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+kaiming_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def torch_bias_init(fan_in: int):
+    """torch Conv2d default bias: U(−1/√fan_in, 1/√fan_in)."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Normalisation
+# ---------------------------------------------------------------------------
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """torch ``InstanceNorm2d`` defaults: per-(sample, channel) spatial stats,
+    no affine, biased variance."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """torch GroupNorm (affine, eps 1e-5) on NHWC."""
+
+    num_groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """Per-batch-statistics normalisation with affine parameters.
+
+    The reference never enables BatchNorm in its recipes (context_norm is
+    'none'; the only BN mentions are the commented-out freeze path,
+    ``train_stereo.py:315-319``). We provide train-mode BN (statistics from
+    the current batch, no running averages) for config parity; under the DP
+    mesh this is per-shard BN, i.e. DDP-without-SyncBN semantics.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(0, 1, 2), keepdims=True)
+        var = xf.var(axis=(0, 1, 2), keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        return out.astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """Dispatch over the reference's norm_fn ∈ {group,batch,instance,none}."""
+
+    norm_fn: str
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.norm_fn == "none":
+            return x
+        if self.norm_fn == "instance":
+            return instance_norm(x)
+        if self.norm_fn == "group":
+            return GroupNorm(num_groups=self.features // 8, dtype=self.dtype)(x)
+        if self.norm_fn == "batch":
+            return BatchNorm(dtype=self.dtype)(x)
+        raise ValueError(f"unknown norm_fn: {self.norm_fn}")
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+class Conv(nn.Module):
+    """2D conv with torch-style integer padding and torch-default init."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Optional[int] = None  # default: 'same'-style (kernel // 2)
+    use_bias: bool = True
+    kernel_init: Callable = torch_default_kernel_init
+    torch_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2 if self.padding is None else self.padding
+        fan_in = x.shape[-1] * self.kernel * self.kernel
+        bias_init = (
+            torch_bias_init(fan_in) if self.torch_bias else nn.initializers.zeros
+        )
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """torch ``ConvTranspose2d(k=4, s=2, p=1)`` equivalent (2× upsample)."""
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # torch padding p ↔ lax.conv_transpose padding (k−1−p) per side.
+        lp = self.kernel - 1 - self.padding
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((lp, lp), (lp, lp)),
+            use_bias=self.use_bias,
+            kernel_init=torch_default_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+class ResidualBlock(nn.Module):
+    """Two 3×3 convs + norm + residual (reference ``core/extractor.py:5``)."""
+
+    planes: int
+    norm_fn: str = "group"
+    stride: int = 1
+    kernel_init: Callable = kaiming_normal_fan_out
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_planes = x.shape[-1]
+        y = Conv(self.planes, 3, self.stride, 1, kernel_init=self.kernel_init,
+                 dtype=self.dtype, name="conv1")(x)
+        y = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm1")(y)
+        y = nn.relu(y)
+        y = Conv(self.planes, 3, 1, 1, kernel_init=self.kernel_init,
+                 dtype=self.dtype, name="conv2")(y)
+        y = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm2")(y)
+        y = nn.relu(y)
+
+        if not (self.stride == 1 and in_planes == self.planes):
+            x = Conv(self.planes, 1, self.stride, 0, kernel_init=self.kernel_init,
+                     dtype=self.dtype, name="downsample")(x)
+            x = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm3")(x)
+        return nn.relu(x + y)
+
+
+class BasicConvIN(nn.Module):
+    """Conv (or deconv) + optional InstanceNorm + LeakyReLU
+    (reference ``core/utils/basic_layers.py:9``)."""
+
+    features: int
+    deconv: bool = False
+    use_in: bool = True
+    relu: bool = True
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deconv:
+            x = ConvTranspose(self.features, self.kernel, self.stride,
+                              self.padding, use_bias=False, dtype=self.dtype,
+                              name="conv")(x)
+        else:
+            x = Conv(self.features, self.kernel, self.stride, self.padding,
+                     use_bias=False, dtype=self.dtype, name="conv")(x)
+        if self.use_in:
+            x = instance_norm(x)
+        if self.relu:
+            x = leaky_relu(x)
+        return x
+
+
+class Conv2xIN(nn.Module):
+    """Deconv-upsample, merge with skip, conv (reference ``basic_layers.py:38``,
+    IGEV-style). Only the configuration the model uses is kept:
+    deconv=True, concat=False (additive skip)."""
+
+    features: int
+    use_in: bool = True  # IN on the second conv (first conv always has IN)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rem):
+        x = BasicConvIN(self.features, deconv=True, use_in=True, relu=True,
+                        kernel=4, stride=2, padding=1, dtype=self.dtype,
+                        name="conv1")(x)
+        if x.shape[1:3] != rem.shape[1:3]:
+            from tcs_tpu.ops.sampler import resize_nearest
+
+            x = resize_nearest(x, rem.shape[1:3])
+        x = x + rem
+        x = BasicConvIN(self.features, deconv=False, use_in=self.use_in,
+                        relu=True, kernel=3, stride=1, padding=1,
+                        dtype=self.dtype, name="conv2")(x)
+        return x
+
+
+class ConvSeq(nn.Module):
+    """conv → relu → conv ladder used by many heads (torch ``nn.Sequential``).
+
+    specs: sequence of (features, kernel, stride, padding). ReLU between convs
+    but, by default, not after the last one (set ``final_relu`` for the
+    encoder-style blocks that end in ReLU).
+    """
+
+    specs: Sequence[Tuple[int, int, int, int]]
+    final_relu: bool = False
+    dtype: Any = jnp.float32
+    kernel_init: Callable = torch_default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.specs)
+        for i, (f, k, s, p) in enumerate(self.specs):
+            x = Conv(f, k, s, p, kernel_init=self.kernel_init,
+                     dtype=self.dtype, name=f"conv{i}")(x)
+            if i < n - 1 or self.final_relu:
+                x = nn.relu(x)
+        return x

@@ -1,0 +1,376 @@
+"""TCStereo: temporally consistent stereo model (reference ``core/tc_stereo.py:25``).
+
+TPU-first redesign of the per-frame forward pass as a *pure function* of
+``(params, frame inputs, temporal state)``:
+
+- One jitted function serves both the first frame (cost-volume argmax
+  bootstrap) and subsequent frames (pose-based forward splat of the previous
+  disparity + features): the temporal state is always threaded as a pytree
+  with a scalar validity flag, and ``lax.cond`` selects the path — no
+  recompiles between frames (the reference branches in Python,
+  tc_stereo.py:119-143).
+- The 5-step GRU/refinement loop is a ``lax.scan`` with gradient-stopped
+  disparity carries, matching the reference's ``coords1.detach()`` per
+  iteration (:176).
+- Mixed precision follows the reference autocast map: conv stacks in bf16
+  (``dtype``), correlation volume / geometry / disparity arithmetic in fp32.
+
+Layouts: NHWC images (B, H, W, 3) in [0, 255]; disparity fields (B, H/f, W/f, 1)
+at 1/4 resolution (f = 2**n_downsample).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from tcs_tpu.config import ModelConfig
+from tcs_tpu import geometry
+from tcs_tpu.models.extractor import BasicEncoder, MultiBasicEncoder, SharedBackboneHead
+from tcs_tpu.models.update import (
+    BasicMultiUpdateBlock,
+    DispGradPredictor,
+    DispRefine,
+    DisparityCompletor,
+    HiddenstateUpdater,
+    LightFuse,
+    UpsampleMaskHead,
+)
+from tcs_tpu.ops import corr as corr_ops
+from tcs_tpu.ops.sampler import (
+    bilinear_sampler,
+    convex_upsample,
+    coords_grid,
+    resize_bilinear,
+)
+
+
+class CameraParams(struct.PyTreeNode):
+    """Stereo camera intrinsics/extrinsics for one batch of frames."""
+
+    K: jax.Array  # (B, 3, 3) intrinsics at full image resolution
+    baseline: jax.Array  # (B,)
+
+
+class TemporalState(struct.PyTreeNode):
+    """State carried between frames (reference tc_stereo.py:223-243).
+
+    ``valid`` is a scalar bool: False for the first frame of a sequence
+    (state contains zeros / identity pose and the bootstrap path is taken).
+    """
+
+    disp_q: jax.Array  # (B, H/f, W/f, 1) previous completed disparity, ≥ 0
+    net_list: Tuple[jax.Array, ...]  # hidden states, fine→coarse
+    fmap1: jax.Array  # (B, H/f, W/f, 256) previous matching features
+    T_prev: jax.Array  # (B, 4, 4) previous world→cam pose
+    valid: jax.Array  # () bool
+
+    @staticmethod
+    def zeros(batch: int, height: int, width: int, cfg: ModelConfig,
+              dtype=jnp.float32) -> "TemporalState":
+        f = cfg.downsample_factor
+        h, w = height // f, width // f
+        nets = tuple(
+            jnp.zeros((batch, h // (2 ** i), w // (2 ** i), cfg.hidden_dims[i]),
+                      dtype)
+            for i in range(cfg.n_gru_layers)
+        )
+        return TemporalState(
+            disp_q=jnp.zeros((batch, h, w, 1), dtype),
+            net_list=nets,
+            fmap1=jnp.zeros((batch, h, w, 256), dtype),
+            T_prev=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (batch, 4, 4)),
+            valid=jnp.asarray(False),
+        )
+
+
+class TCStereoOutput(struct.PyTreeNode):
+    """Forward outputs. Training fields are None in test mode."""
+
+    # Full-resolution flow of the final iteration (clipped ≤ 0) — test mode.
+    flow: Optional[jax.Array]
+    # Per-iteration stacked predictions — train mode.
+    flow_predictions: Optional[Tuple[jax.Array, jax.Array]]  # (iters,B,H,W,1) ×2
+    flow_q_predictions: Optional[Tuple[jax.Array, jax.Array]]  # (iters,B,h,w,1) ×2
+    disp_grad_q_predictions: Optional[jax.Array]  # (iters,B,h,w,2)
+    flow_init: Optional[jax.Array]  # (B,H,W,1) upsampled −disp_init
+    flow_mono: Optional[jax.Array]  # (B,H,W,1) upsampled −disp_mono
+    cost_volume: Optional[jax.Array]  # (B,h,w,W2) masked
+    new_state: TemporalState
+
+
+class TCStereo(nn.Module):
+    """Iterative temporally-consistent stereo network."""
+
+    cfg: ModelConfig = ModelConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        self.dtype = dt
+        self.cnet = MultiBasicEncoder(
+            output_dims=(cfg.hidden_dims, cfg.context_dims),
+            norm_fn=cfg.context_norm, dtype=dt,
+        )
+        if cfg.shared_backbone:
+            self.conv2 = SharedBackboneHead(dtype=dt)
+        else:
+            self.fnet = BasicEncoder(output_dim=256, norm_fn="instance",
+                                     downsample=cfg.n_downsample, dtype=dt)
+        self.update_block = BasicMultiUpdateBlock(
+            hidden_dims=cfg.hidden_dims, n_gru_layers=cfg.n_gru_layers, dtype=dt
+        )
+        # Context gate convs (reference tc_stereo.py:38) and gradient-context
+        # convs (:56).
+        from tcs_tpu.models.layers import Conv
+
+        self.context_zqr_convs = [
+            Conv(cfg.hidden_dims[i] * 3, 3, 1, 1, dtype=dt,
+                 name=f"context_zqr_convs_{i}")
+            for i in range(cfg.n_gru_layers)
+        ]
+        self.context_zqr_convs_grad = [
+            Conv(64, 3, 1, 1, dtype=dt, name=f"context_zqr_convs_grad_{i}")
+            for i in range(cfg.n_gru_layers)
+        ]
+        self.previous_current_hidden_fuse = [
+            LightFuse(cfg.hidden_dims[i], dtype=dt, name=f"hidden_fuse_{i}")
+            for i in range(cfg.n_gru_layers)
+        ]
+        self.disp_completor = DisparityCompletor(dtype=dt)
+        self.disp_grad_refine = DispGradPredictor(dtype=dt)
+        self.disp_refine = DispRefine(
+            downsample_factor=cfg.downsample_factor, dtype=dt
+        )
+        self.upsample_mask_head = UpsampleMaskHead(
+            downsample_factor=cfg.downsample_factor, dtype=dt
+        )
+        self.hiddenstate_update = HiddenstateUpdater(cfg.context_dims[0],
+                                                     dtype=dt)
+
+    # ------------------------------------------------------------------
+    # Forward
+    # ------------------------------------------------------------------
+
+    def __call__(self, image1, image2, state: TemporalState, cam: CameraParams,
+                 T, iters: int = 5, test_mode: bool = False) -> TCStereoOutput:
+        """Per-frame forward pass.
+
+        Args:
+          image1/image2: (B, H, W, 3) left/right frames in [0, 255].
+          state: temporal state from the previous frame
+            (``TemporalState.zeros`` + valid=False at sequence start).
+          cam: camera intrinsics/baseline (full resolution).
+          T: (B, 4, 4) current world→cam pose.
+          iters: GRU iterations (static).
+          test_mode: static; skips per-iteration outputs.
+        """
+        cfg = self.cfg
+        dt = self.dtype
+        B, H, W, _ = image1.shape
+        f = cfg.downsample_factor
+
+        img1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
+        img2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
+
+        # --- context + matching features (bf16 conv stacks) ---
+        if cfg.shared_backbone:
+            cnet_list, trunk = self.cnet(
+                jnp.concatenate([img1, img2], axis=0), dual_inp=True,
+                num_layers=cfg.n_gru_layers,
+            )
+            fmap = self.conv2(trunk)
+            fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
+        else:
+            cnet_list, _ = self.cnet(img1, dual_inp=False,
+                                     num_layers=cfg.n_gru_layers)
+            fmap1 = self.fnet(img1)
+            fmap2 = self.fnet(img2)
+        fmap1 = fmap1.astype(jnp.float32)
+        fmap2 = fmap2.astype(jnp.float32)
+
+        # --- cost volume (fp32, MXU einsum) ---
+        raw_cv = corr_ops.build_cost_volume(fmap1, fmap2)
+        pyramid = corr_ops.corr_pyramid(raw_cv, cfg.corr_levels)
+        cost_volume = corr_ops.masked_cost_volume(raw_cv)
+
+        # --- temporal initialisation ---
+        K_scale = geometry.scale_intrinsics(cam.K, cfg.scale_rate)
+        K_scale_inv = jnp.linalg.inv(K_scale)
+
+        def warp_path(_):
+            relative_T = geometry.cal_relative_transformation(state.T_prev, T)
+            warped_disp, warped_fmap1, sparse_mask = geometry.warp(
+                state.disp_q, state.fmap1, relative_T, K_scale, K_scale_inv,
+                cam.baseline,
+            )
+            cost = jnp.sum(
+                corr_ops.l2_normalize(fmap1) * corr_ops.l2_normalize(warped_fmap1),
+                axis=-1, keepdims=True,
+            )
+            return warped_disp, cost * sparse_mask, sparse_mask
+
+        def argmax_path(_):
+            return corr_ops.argmax_disp(
+                cost_volume, margin=cfg.argmax_margin,
+                suppress_radius=cfg.argmax_suppress_radius,
+            )
+
+        sparse_disp, cost, sparse_mask = jax.lax.cond(
+            state.valid, warp_path, argmax_path, operand=None
+        )
+
+        # --- context projections ---
+        inp_raw = [nn.relu(x[1]) for x in cnet_list]
+        grad_list = [
+            conv(i) for i, conv in zip(inp_raw, self.context_zqr_convs_grad)
+        ]
+        inp_list = [
+            tuple(jnp.split(conv(i), 3, axis=-1))
+            for i, conv in zip(inp_raw, self.context_zqr_convs)
+        ]
+        net_raw = [x[0] for x in cnet_list]
+
+        # --- disparity completion (bf16) ---
+        disp_init, disp_mono, w_fuse, net_list = self.disp_completor(
+            sparse_disp, jax.lax.stop_gradient(cost), sparse_mask, net_raw
+        )
+
+        # --- hidden-state temporal warp ---
+        def warp_hidden(_):
+            backward_grid = geometry.get_backward_grid(
+                jax.lax.stop_gradient(disp_init),
+                geometry.cal_relative_transformation(T, state.T_prev),
+                K_scale, K_scale_inv, cam.baseline,
+            )
+            warped = []
+            grid = backward_grid
+            for net in state.net_list:
+                warped.append(
+                    bilinear_sampler(net.astype(jnp.float32), grid)
+                )
+                grid = 0.5 * resize_bilinear(
+                    grid, (grid.shape[1] // 2, grid.shape[2] // 2)
+                )
+            return tuple(warped)
+
+        def zero_hidden(_):
+            return tuple(
+                jnp.zeros_like(n, dtype=jnp.float32) for n in state.net_list
+            )
+
+        warped_net_list = jax.lax.cond(state.valid, warp_hidden, zero_hidden,
+                                       operand=None)
+
+        # --- hidden-state fusion (bf16) ---
+        net_list = [nn.tanh(x) for x in net_list]
+        net_list = tuple(
+            fuse(net, wnet.astype(dt))
+            for net, wnet, fuse in zip(
+                net_list, warped_net_list, self.previous_current_hidden_fuse
+            )
+        )
+
+        # --- iterative refinement (lax.scan) ---
+        disp0 = jax.lax.stop_gradient(disp_init)
+
+        def iteration(carry, _):
+            net_list, disp = carry
+            disp = jax.lax.stop_gradient(disp)
+            coords_x = (
+                coords_grid(B, H // f, W // f)[..., 0] - disp[..., 0]
+            )
+            corr = corr_ops.lookup(pyramid, coords_x, cfg.corr_radius)
+            flow_x = -disp
+
+            if cfg.slow_fast_gru and cfg.n_gru_layers == 3:
+                net_list = self.update_block(
+                    net_list, inp_list, iter_fine=False, iter_mid=False,
+                    iter_coarse=True, update=False,
+                )
+            if cfg.slow_fast_gru and cfg.n_gru_layers >= 2:
+                net_list = self.update_block(
+                    net_list, inp_list, iter_fine=False, iter_mid=True,
+                    iter_coarse=cfg.n_gru_layers == 3, update=False,
+                )
+            net_list, delta_flow = self.update_block(
+                net_list, inp_list, corr, flow_x,
+                iter_fine=True, iter_mid=cfg.n_gru_layers >= 2,
+                iter_coarse=cfg.n_gru_layers == 3,
+            )
+            disp_q = disp - delta_flow  # coords1 += Δ ⇒ disp −= Δ
+
+            # gradient-space refinement + propagation (fp32 disparity math)
+            disp_grad_raw, _ = geometry.disp2disp_gradient_xy(
+                jax.lax.stop_gradient(disp_q)
+            )
+            disp_grad, grad_ctx = self.disp_grad_refine(
+                disp_grad_raw, disp_q, grad_list
+            )
+            refined_disp, fused = self.disp_refine(
+                disp_grad, disp_q, net_list[0], grad_ctx
+            )
+            delta_disp = jax.lax.stop_gradient(refined_disp - disp_q)
+            net_list = (
+                self.hiddenstate_update(net_list[0], delta_disp.astype(dt)),
+            ) + tuple(net_list[1:])
+
+            if test_mode:
+                ys = None
+            else:
+                up_mask = self.upsample_mask_head(fused)
+                flows_up = convex_upsample(
+                    -disp_q, jax.lax.stop_gradient(up_mask), f
+                )
+                flow_refine_up = convex_upsample(-refined_disp, up_mask, f)
+                ys = (
+                    flows_up, flow_refine_up, -disp_q, -refined_disp, disp_grad,
+                )
+            return (net_list, refined_disp), (ys, fused) if test_mode is False else (ys, fused)
+
+        (net_list, refined_disp), (ys, fused_seq) = jax.lax.scan(
+            iteration, (net_list, disp0), None, length=iters
+        )
+
+        # --- assemble outputs ---
+        flow_q = -refined_disp
+        new_state = TemporalState(
+            disp_q=jax.lax.stop_gradient(jnp.maximum(refined_disp, 0.0)),
+            net_list=tuple(
+                jax.lax.stop_gradient(n.astype(jnp.float32)) for n in net_list
+            ),
+            fmap1=jax.lax.stop_gradient(fmap1),
+            T_prev=T,
+            valid=jnp.asarray(True),
+        )
+
+        if test_mode:
+            final_fused = jax.tree_util.tree_map(lambda x: x[-1], fused_seq)
+            up_mask = self.upsample_mask_head(final_fused)
+            flow_refine_up = convex_upsample(flow_q, up_mask, f)
+            return TCStereoOutput(
+                flow=jnp.clip(flow_refine_up, None, 0.0),
+                flow_predictions=None,
+                flow_q_predictions=None,
+                disp_grad_q_predictions=None,
+                flow_init=None,
+                flow_mono=None,
+                cost_volume=None,
+                new_state=new_state,
+            )
+
+        flows_up, flow_refine_up, flow_q_seq, flow_refine_q_seq, grads_seq = ys
+        return TCStereoOutput(
+            flow=jnp.clip(flow_refine_up[-1], None, 0.0),
+            flow_predictions=(flows_up, flow_refine_up),
+            flow_q_predictions=(flow_q_seq, flow_refine_q_seq),
+            disp_grad_q_predictions=grads_seq,
+            flow_init=-float(f) * resize_bilinear(disp_init, (H, W)),
+            flow_mono=-float(f) * resize_bilinear(disp_mono, (H, W)),
+            cost_volume=cost_volume,
+            new_state=new_state,
+        )

@@ -1,0 +1,136 @@
+"""Forward softmax splatting (TPU-native).
+
+The reference implements forward warping with a cupy-JIT CUDA kernel using
+``atomicAdd`` (``core/utils/splatting/softsplat.py:232-345``) plus two custom
+backward kernels. Non-deterministic float atomics do not exist on TPU — and we
+don't want them: here the scatter-add is expressed with ``jnp``'s functional
+``.at[].add`` (lowered by XLA to a deterministic scatter) and differentiated by
+JAX autodiff, which produces exactly the gather-based backward the reference
+hand-writes (value-grad via weighted gathers of the output cotangent; flow-grad
+via the bilinear-weight derivatives).
+
+Modes mirror the reference wrapper (``softsplat.py:232-274``):
+``'sum' | 'avg' | 'linear[-addeps|-clipeps]' | 'soft[-addeps|-clipeps]'``.
+Only ``'soft-clipeps'`` is exercised by the model (``geo_utils.py:196``).
+
+A Pallas kernel backend can be selected with ``backend='pallas'`` once
+available; both backends share this API and are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-7
+
+
+def splat_sum(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear forward scatter-add of ``values`` along ``flow``.
+
+    Each source pixel (x, y) contributes ``values[b, y, x]`` to the four
+    integer neighbours of (x + flow_x, y + flow_y), weighted bilinearly.
+    Contributions landing outside the image are dropped; non-finite targets
+    are skipped (reference kernel ``softsplat.py:301-302``).
+
+    values: (B, H, W, C), flow: (B, H, W, 2) → (B, H, W, C).
+    """
+    B, H, W, C = values.shape
+    dtype = values.dtype
+
+    gx = lax.broadcasted_iota(dtype, (B, H, W), 2)
+    gy = lax.broadcasted_iota(dtype, (B, H, W), 1)
+    tx = gx + flow[..., 0]
+    ty = gy + flow[..., 1]
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    # Push non-finite targets far out of bounds so all four taps are invalid.
+    tx = jnp.where(finite, tx, -10.0)
+    ty = jnp.where(finite, ty, -10.0)
+
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+
+    out = jnp.zeros((B, H * W, C), dtype)
+    b_idx = lax.broadcasted_iota(jnp.int32, (B, H * W), 0)
+
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi = x0 + dx
+        yi = y0 + dy
+        # Bilinear weight of this tap (product of 1-distances).
+        wx = 1.0 - jnp.abs(tx - xi)
+        wy = 1.0 - jnp.abs(ty - yi)
+        w = wx * wy
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        w = jnp.where(valid, w, 0.0)
+        idx = (
+            jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
+            + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        )
+        contrib = (values * w[..., None]).reshape(B, H * W, C)
+        out = out.at[b_idx, idx.reshape(B, H * W)].add(
+            contrib, mode="drop", indices_are_sorted=False, unique_indices=False
+        )
+    return out.reshape(B, H, W, C)
+
+
+def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
+              valid_mask=None, backend: str = "xla"):
+    """Softmax splatting (reference ``softsplat.py:232``).
+
+    Args:
+      values: (B, H, W, C) features to warp.
+      flow: (B, H, W, 2) forward flow (x, y).
+      metric: (B, H, W, 1) importance metric, or None for 'sum'/'avg'.
+      mode: 'sum' | 'avg' | 'linear[-addeps|-clipeps]' | 'soft[-addeps|-clipeps]'.
+      valid_mask: (B, H, W, 1) or None; invalid sources contribute nothing.
+      backend: 'xla' (scatter-add) or 'pallas' (fused kernel).
+
+    Returns:
+      (warped (B, H, W, C), coverage_mask (B, H, W, 1)) for normalising modes;
+      for mode='sum', (warped, ones).
+    """
+    base = mode.split("-")[0]
+    assert base in ("sum", "avg", "linear", "soft"), mode
+    if valid_mask is None:
+        valid_mask = jnp.ones_like(values[..., :1])
+    values = values * valid_mask
+
+    if base == "sum":
+        assert metric is None
+        out = _dispatch(values, flow, backend)
+        return out, jnp.ones_like(values[..., :1])
+
+    if base == "avg":
+        weight = valid_mask
+    elif base == "linear":
+        assert metric is not None
+        weight = metric
+    else:  # soft
+        assert metric is not None
+        weight = jnp.exp(metric)
+
+    stacked = jnp.concatenate([values * weight, weight * valid_mask], axis=-1)
+    out = _dispatch(stacked, flow, backend)
+    norm = out[..., -1:]
+    mask = (norm != 0).astype(values.dtype)
+
+    suffix = mode.split("-")[1] if "-" in mode else "addeps"
+    if suffix == "addeps":
+        norm = norm + _EPS
+    elif suffix == "clipeps":
+        norm = jnp.clip(norm, _EPS, None)
+    else:
+        raise ValueError(f"unknown softsplat mode suffix: {mode}")
+
+    return out[..., :-1] / norm, mask
+
+
+def _dispatch(values, flow, backend):
+    if backend == "xla":
+        return splat_sum(values, flow)
+    if backend == "pallas":
+        from tcs_tpu.ops.pallas.splat_kernel import splat_sum_pallas
+
+        return splat_sum_pallas(values, flow)
+    raise ValueError(f"unknown splat backend: {backend}")

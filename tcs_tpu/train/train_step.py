@@ -1,0 +1,167 @@
+"""Jitted training / eval steps with frame-scan BPTT.
+
+The reference trains temporally by looping Python-side over ``frame_length``
+frames, calling backward per frame to accumulate gradients, with temporal
+carries detached (``train_stereo.py:348-411``). Because the carries are
+gradient-stopped, accumulating per-frame gradients equals differentiating the
+*sum* of per-frame losses once — so here the whole window is a single
+``lax.scan`` inside one jitted step: XLA sees the full graph, fuses across
+frames, and inserts the DP gradient all-reduce automatically when the batch is
+sharded over the mesh.
+
+Loss weighting mirrors ``train_stereo.py:364-405``:
+  total = Σ_frames (seq + init + 0.25·normal + 5·grad) / frame_length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.training import train_state as flax_train_state
+
+from tcs_tpu import losses as L
+from tcs_tpu.config import TrainConfig
+from tcs_tpu.geometry import disp2disp_gradient_xy
+from tcs_tpu.models.tc_stereo import CameraParams, TCStereo, TemporalState
+
+
+class FrameBatch(struct.PyTreeNode):
+    """One temporal frame for every sequence in the batch."""
+
+    image1: jax.Array  # (B, H, W, 3) float32 in [0,255]
+    image2: jax.Array  # (B, H, W, 3)
+    flow: jax.Array  # (B, H, W, 1) GT flow (−disp)
+    valid: jax.Array  # (B, H, W, 1) float 0/1
+    T: jax.Array  # (B, 4, 4) world→cam pose
+
+
+class SequenceBatch(struct.PyTreeNode):
+    """A batch of fixed-length stereo video clips (time-major inner axis)."""
+
+    image1: jax.Array  # (B, T, H, W, 3)
+    image2: jax.Array  # (B, T, H, W, 3)
+    flow: jax.Array  # (B, T, H, W, 1)
+    valid: jax.Array  # (B, T, H, W, 1)
+    T: jax.Array  # (B, T, 4, 4)
+    K: jax.Array  # (B, 3, 3)
+    baseline: jax.Array  # (B,)
+
+    def frame(self, t):
+        return FrameBatch(
+            image1=self.image1[:, t], image2=self.image2[:, t],
+            flow=self.flow[:, t], valid=self.valid[:, t], T=self.T[:, t],
+        )
+
+
+class TrainState(flax_train_state.TrainState):
+    pass
+
+
+def frame_losses(out, frame: FrameBatch, cfg: TrainConfig):
+    """All four losses for one frame (reference train_stereo.py:363-399)."""
+    weights = L.loss_weights(out.flow_predictions[0].shape[0], cfg.loss_gamma)
+    scale = cfg.model.scale_rate
+
+    mag = jnp.sqrt(jnp.sum(frame.flow ** 2, axis=-1, keepdims=True))
+    valid = ((frame.valid >= 0.5) & (mag < 700.0))
+
+    grad_gt, _ = disp2disp_gradient_xy(-frame.flow)
+    norm_gt = jnp.concatenate([grad_gt, -jnp.ones_like(grad_gt[..., :1])], axis=-1)
+    norm_gt = norm_gt / jnp.maximum(
+        jnp.linalg.norm(norm_gt, axis=-1, keepdims=True), 1e-12
+    )
+
+    dense_gt = cfg.train_dataset != "kitti_raw"
+
+    seq_loss, seq_metrics = L.sequence_loss(
+        out.flow_mono, out.flow_init, out.flow_predictions, frame.flow, valid,
+        weights,
+    )
+    in_loss, init_metrics = L.init_loss(
+        out.cost_volume, frame.flow, valid, k=cfg.init_k, scale=scale,
+        threshold=cfg.model.init_thres,
+    )
+    norm_loss, norm_metrics = L.disp_normal_loss(
+        out.flow_q_predictions, norm_gt, valid, weights, scale=scale,
+        dense_gt=dense_gt,
+    )
+    grad_loss, grad_metrics = L.disp_grad_loss(
+        out.disp_grad_q_predictions, grad_gt, valid, weights, scale=scale,
+        dense_gt=dense_gt,
+    )
+    total = (
+        seq_loss
+        + in_loss
+        + cfg.normal_loss_weight * norm_loss
+        + cfg.grad_loss_weight * grad_loss
+    )
+    metrics = {**seq_metrics, **init_metrics, **norm_metrics, **grad_metrics}
+    return total, metrics
+
+
+def make_train_step(model: TCStereo, cfg: TrainConfig,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step: (TrainState, SequenceBatch) → (TrainState,
+    metrics). Frame windows are scanned with remat to bound activation memory.
+    """
+
+    def loss_fn(params, batch: SequenceBatch):
+        B, Tn, H, W, _ = batch.image1.shape
+        cam = CameraParams(K=batch.K, baseline=batch.baseline)
+        init_state = TemporalState.zeros(B, H, W, cfg.model)
+
+        @functools.partial(jax.checkpoint, prevent_cse=False)
+        def frame_step(state, frame: FrameBatch):
+            out = model.apply(
+                params, frame.image1, frame.image2, state, cam, frame.T,
+                iters=cfg.train_iters, test_mode=False,
+            )
+            floss, metrics = frame_losses(out, frame, cfg)
+            return out.new_state, (floss, metrics)
+
+        frames = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1),
+            FrameBatch(batch.image1, batch.image2, batch.flow, batch.valid,
+                       batch.T),
+        )
+        _, (frame_loss, metrics) = jax.lax.scan(frame_step, init_state, frames)
+        loss = jnp.mean(frame_loss)  # Σ/frame_length
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        return loss, metrics
+
+    def train_step(state: TrainState, batch: SequenceBatch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(metrics)
+        metrics["live_loss"] = loss
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(model: TCStereo, iters: int = 5) -> Callable:
+    """Jitted single-frame test-mode forward: returns (flow_fullres ≤ 0,
+    new TemporalState). One compiled function serves first and subsequent
+    frames via the state validity flag."""
+
+    @jax.jit
+    def eval_step(params, image1, image2, state: TemporalState,
+                  cam: CameraParams, T):
+        out = model.apply(params, image1, image2, state, cam, T, iters=iters,
+                          test_mode=True)
+        return out.flow, out.new_state
+
+    return eval_step
