@@ -84,15 +84,17 @@ def scale_intrinsics(K: jax.Array, scale: float) -> jax.Array:
 def disp2disp_gradient_xy(disp: jax.Array):
     """Forward-difference x/y disparity gradients with replicate padding.
 
-    disp: (B,H,W,1) → grads (B,H,W,2) channels (gx, gy), edge_mask (B,H,W,1)
-    true where |gx|<5 and |gy|<5. Reference geo_utils.py:115.
+    disp: (..., H, W, 1) → grads (..., H, W, 2) channels (gx, gy), edge_mask
+    (..., H, W, 1) true where |gx|<5 and |gy|<5. Reference geo_utils.py:115.
+    Supports arbitrary leading dims (e.g. stacked per-iteration predictions).
     """
-    dp = jnp.pad(disp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    B, Hp, Wp, _ = dp.shape
-    H, W = Hp - 2, Wp - 2
-    center = dp[:, 1 : 1 + H, 1 : 1 + W]
-    gx = dp[:, 1 : 1 + H, 2 : 2 + W] - center
-    gy = dp[:, 2 : 2 + H, 1 : 1 + W] - center
+    nb = disp.ndim - 3
+    pads = ((0, 0),) * nb + ((1, 1), (1, 1), (0, 0))
+    dp = jnp.pad(disp, pads, mode="edge")
+    H, W = disp.shape[-3], disp.shape[-2]
+    center = dp[..., 1 : 1 + H, 1 : 1 + W, :]
+    gx = dp[..., 1 : 1 + H, 2 : 2 + W, :] - center
+    gy = dp[..., 2 : 2 + H, 1 : 1 + W, :] - center
     grads = jnp.concatenate([gx, gy], axis=-1)
     edge_mask = (jnp.abs(gx) < 5) & (jnp.abs(gy) < 5)
     return grads, edge_mask

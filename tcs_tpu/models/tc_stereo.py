@@ -9,9 +9,10 @@ TPU-first redesign of the per-frame forward pass as a *pure function* of
   with a scalar validity flag, and ``lax.cond`` selects the path — no
   recompiles between frames (the reference branches in Python,
   tc_stereo.py:119-143).
-- The 5-step GRU/refinement loop is a ``lax.scan`` with gradient-stopped
-  disparity carries, matching the reference's ``coords1.detach()`` per
-  iteration (:176).
+- The 5-step GRU/refinement loop is a lifted ``nn.scan`` over a
+  :class:`RefinementCell` with parameters broadcast across iterations,
+  with gradient-stopped disparity carries matching the reference's
+  ``coords1.detach()`` per iteration (:176).
 - Mixed precision follows the reference autocast map: conv stacks in bf16
   (``dtype``), correlation volume / geometry / disparity arithmetic in fp32.
 
@@ -31,6 +32,7 @@ from flax import struct
 from tcs_tpu.config import ModelConfig
 from tcs_tpu import geometry
 from tcs_tpu.models.extractor import BasicEncoder, MultiBasicEncoder, SharedBackboneHead
+from tcs_tpu.models.layers import Conv
 from tcs_tpu.models.update import (
     BasicMultiUpdateBlock,
     DispGradPredictor,
@@ -91,9 +93,9 @@ class TemporalState(struct.PyTreeNode):
 class TCStereoOutput(struct.PyTreeNode):
     """Forward outputs. Training fields are None in test mode."""
 
-    # Full-resolution flow of the final iteration (clipped ≤ 0) — test mode.
-    flow: Optional[jax.Array]
-    # Per-iteration stacked predictions — train mode.
+    # Full-resolution flow of the final iteration (clipped ≤ 0).
+    flow: jax.Array
+    # Per-iteration stacked predictions — train mode only.
     flow_predictions: Optional[Tuple[jax.Array, jax.Array]]  # (iters,B,H,W,1) ×2
     flow_q_predictions: Optional[Tuple[jax.Array, jax.Array]]  # (iters,B,h,w,1) ×2
     disp_grad_q_predictions: Optional[jax.Array]  # (iters,B,h,w,2)
@@ -103,59 +105,86 @@ class TCStereoOutput(struct.PyTreeNode):
     new_state: TemporalState
 
 
+class RefinementCell(nn.Module):
+    """One GRU + dual-space refinement iteration (reference tc_stereo.py:175-218).
+
+    Scanned over ``iters`` with parameters broadcast. The carry holds the
+    hidden states and the current disparity; per-iteration outputs are the
+    upsampled flow pair, q-scale flow pair and refined gradients.
+    """
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        cfg = self.cfg
+        dt = self.dtype
+        f = cfg.downsample_factor
+        net_list, disp = carry
+        pyramid, inp_list, grad_list = consts
+        B, h, w, _ = disp.shape
+
+        disp = jax.lax.stop_gradient(disp)
+        coords_x = coords_grid(B, h, w)[..., 0] - disp[..., 0]
+        corr = corr_ops.lookup(pyramid, coords_x, cfg.corr_radius)
+        flow_x = -disp
+
+        update_block = BasicMultiUpdateBlock(
+            hidden_dims=cfg.hidden_dims, n_gru_layers=cfg.n_gru_layers,
+            dtype=dt, name="update_block",
+        )
+        if cfg.slow_fast_gru and cfg.n_gru_layers == 3:
+            net_list = update_block(
+                net_list, inp_list, iter_fine=False, iter_mid=False,
+                iter_coarse=True, update=False,
+            )
+        if cfg.slow_fast_gru and cfg.n_gru_layers >= 2:
+            net_list = update_block(
+                net_list, inp_list, iter_fine=False, iter_mid=True,
+                iter_coarse=cfg.n_gru_layers == 3, update=False,
+            )
+        net_list, delta_flow = update_block(
+            net_list, inp_list, corr, flow_x,
+            iter_fine=True, iter_mid=cfg.n_gru_layers >= 2,
+            iter_coarse=cfg.n_gru_layers == 3,
+        )
+        disp_q = disp - delta_flow  # coords1 += Δ ⇔ disp −= Δ
+
+        # gradient-space refinement + propagation (fp32 disparity math)
+        disp_grad_raw, _ = geometry.disp2disp_gradient_xy(
+            jax.lax.stop_gradient(disp_q)
+        )
+        disp_grad, grad_ctx = DispGradPredictor(dtype=dt, name="disp_grad_refine")(
+            disp_grad_raw, disp_q, grad_list
+        )
+        refined_disp, fused = DispRefine(
+            downsample_factor=f, dtype=dt, name="disp_refine"
+        )(disp_grad, disp_q, net_list[0], grad_ctx)
+
+        delta_disp = jax.lax.stop_gradient(refined_disp - disp_q)
+        net_list = (
+            HiddenstateUpdater(cfg.context_dims[0], dtype=dt,
+                               name="hiddenstate_update")(
+                net_list[0], delta_disp.astype(dt)
+            ),
+        ) + tuple(net_list[1:])
+
+        up_mask = UpsampleMaskHead(downsample_factor=f, dtype=dt,
+                                   name="upsample_mask_head")(fused)
+        flows_up = convex_upsample(-disp_q, jax.lax.stop_gradient(up_mask), f)
+        flow_refine_up = convex_upsample(-refined_disp, up_mask, f)
+
+        ys = (flows_up, flow_refine_up, -disp_q, -refined_disp, disp_grad)
+        return (net_list, refined_disp), ys
+
+
 class TCStereo(nn.Module):
     """Iterative temporally-consistent stereo network."""
 
     cfg: ModelConfig = ModelConfig()
 
-    def setup(self):
-        cfg = self.cfg
-        dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
-        self.dtype = dt
-        self.cnet = MultiBasicEncoder(
-            output_dims=(cfg.hidden_dims, cfg.context_dims),
-            norm_fn=cfg.context_norm, dtype=dt,
-        )
-        if cfg.shared_backbone:
-            self.conv2 = SharedBackboneHead(dtype=dt)
-        else:
-            self.fnet = BasicEncoder(output_dim=256, norm_fn="instance",
-                                     downsample=cfg.n_downsample, dtype=dt)
-        self.update_block = BasicMultiUpdateBlock(
-            hidden_dims=cfg.hidden_dims, n_gru_layers=cfg.n_gru_layers, dtype=dt
-        )
-        # Context gate convs (reference tc_stereo.py:38) and gradient-context
-        # convs (:56).
-        from tcs_tpu.models.layers import Conv
-
-        self.context_zqr_convs = [
-            Conv(cfg.hidden_dims[i] * 3, 3, 1, 1, dtype=dt,
-                 name=f"context_zqr_convs_{i}")
-            for i in range(cfg.n_gru_layers)
-        ]
-        self.context_zqr_convs_grad = [
-            Conv(64, 3, 1, 1, dtype=dt, name=f"context_zqr_convs_grad_{i}")
-            for i in range(cfg.n_gru_layers)
-        ]
-        self.previous_current_hidden_fuse = [
-            LightFuse(cfg.hidden_dims[i], dtype=dt, name=f"hidden_fuse_{i}")
-            for i in range(cfg.n_gru_layers)
-        ]
-        self.disp_completor = DisparityCompletor(dtype=dt)
-        self.disp_grad_refine = DispGradPredictor(dtype=dt)
-        self.disp_refine = DispRefine(
-            downsample_factor=cfg.downsample_factor, dtype=dt
-        )
-        self.upsample_mask_head = UpsampleMaskHead(
-            downsample_factor=cfg.downsample_factor, dtype=dt
-        )
-        self.hiddenstate_update = HiddenstateUpdater(cfg.context_dims[0],
-                                                     dtype=dt)
-
-    # ------------------------------------------------------------------
-    # Forward
-    # ------------------------------------------------------------------
-
+    @nn.compact
     def __call__(self, image1, image2, state: TemporalState, cam: CameraParams,
                  T, iters: int = 5, test_mode: bool = False) -> TCStereoOutput:
         """Per-frame forward pass.
@@ -167,10 +196,10 @@ class TCStereo(nn.Module):
           cam: camera intrinsics/baseline (full resolution).
           T: (B, 4, 4) current world→cam pose.
           iters: GRU iterations (static).
-          test_mode: static; skips per-iteration outputs.
+          test_mode: static; skips per-iteration training outputs.
         """
         cfg = self.cfg
-        dt = self.dtype
+        dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         B, H, W, _ = image1.shape
         f = cfg.downsample_factor
 
@@ -179,17 +208,23 @@ class TCStereo(nn.Module):
 
         # --- context + matching features (bf16 conv stacks) ---
         if cfg.shared_backbone:
-            cnet_list, trunk = self.cnet(
-                jnp.concatenate([img1, img2], axis=0), dual_inp=True,
-                num_layers=cfg.n_gru_layers,
-            )
-            fmap = self.conv2(trunk)
+            cnet_list, trunk = MultiBasicEncoder(
+                output_dims=(cfg.hidden_dims, cfg.context_dims),
+                norm_fn=cfg.context_norm, dtype=dt, name="cnet",
+            )(jnp.concatenate([img1, img2], axis=0), dual_inp=True,
+              num_layers=cfg.n_gru_layers)
+            fmap = SharedBackboneHead(dtype=dt, name="conv2")(trunk)
             fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
         else:
-            cnet_list, _ = self.cnet(img1, dual_inp=False,
-                                     num_layers=cfg.n_gru_layers)
-            fmap1 = self.fnet(img1)
-            fmap2 = self.fnet(img2)
+            cnet_list, _ = MultiBasicEncoder(
+                output_dims=(cfg.hidden_dims, cfg.context_dims),
+                norm_fn=cfg.context_norm, dtype=dt, name="cnet",
+            )(img1, dual_inp=False, num_layers=cfg.n_gru_layers)
+            fnet = BasicEncoder(output_dim=256, norm_fn="instance",
+                                downsample=cfg.n_downsample, dtype=dt,
+                                name="fnet")
+            fmap1 = fnet(img1)
+            fmap2 = fnet(img2)
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
 
@@ -226,19 +261,24 @@ class TCStereo(nn.Module):
 
         # --- context projections ---
         inp_raw = [nn.relu(x[1]) for x in cnet_list]
-        grad_list = [
-            conv(i) for i, conv in zip(inp_raw, self.context_zqr_convs_grad)
-        ]
-        inp_list = [
-            tuple(jnp.split(conv(i), 3, axis=-1))
-            for i, conv in zip(inp_raw, self.context_zqr_convs)
-        ]
+        grad_list = tuple(
+            Conv(64, 3, 1, 1, dtype=dt, name=f"context_zqr_convs_grad_{i}")(x)
+            for i, x in enumerate(inp_raw)
+        )
+        inp_list = tuple(
+            tuple(jnp.split(
+                Conv(cfg.hidden_dims[i] * 3, 3, 1, 1, dtype=dt,
+                     name=f"context_zqr_convs_{i}")(x),
+                3, axis=-1,
+            ))
+            for i, x in enumerate(inp_raw)
+        )
         net_raw = [x[0] for x in cnet_list]
 
         # --- disparity completion (bf16) ---
-        disp_init, disp_mono, w_fuse, net_list = self.disp_completor(
-            sparse_disp, jax.lax.stop_gradient(cost), sparse_mask, net_raw
-        )
+        disp_init, disp_mono, w_fuse, net_list = DisparityCompletor(
+            dtype=dt, name="disp_completor"
+        )(sparse_disp, jax.lax.stop_gradient(cost), sparse_mask, net_raw)
 
         # --- hidden-state temporal warp ---
         def warp_hidden(_):
@@ -250,9 +290,7 @@ class TCStereo(nn.Module):
             warped = []
             grid = backward_grid
             for net in state.net_list:
-                warped.append(
-                    bilinear_sampler(net.astype(jnp.float32), grid)
-                )
+                warped.append(bilinear_sampler(net.astype(jnp.float32), grid))
                 grid = 0.5 * resize_bilinear(
                     grid, (grid.shape[1] // 2, grid.shape[2] // 2)
                 )
@@ -269,75 +307,28 @@ class TCStereo(nn.Module):
         # --- hidden-state fusion (bf16) ---
         net_list = [nn.tanh(x) for x in net_list]
         net_list = tuple(
-            fuse(net, wnet.astype(dt))
-            for net, wnet, fuse in zip(
-                net_list, warped_net_list, self.previous_current_hidden_fuse
+            LightFuse(cfg.hidden_dims[i], dtype=dt, name=f"hidden_fuse_{i}")(
+                net, wnet.astype(dt)
             )
+            for i, (net, wnet) in enumerate(zip(net_list, warped_net_list))
         )
 
-        # --- iterative refinement (lax.scan) ---
-        disp0 = jax.lax.stop_gradient(disp_init)
-
-        def iteration(carry, _):
-            net_list, disp = carry
-            disp = jax.lax.stop_gradient(disp)
-            coords_x = (
-                coords_grid(B, H // f, W // f)[..., 0] - disp[..., 0]
-            )
-            corr = corr_ops.lookup(pyramid, coords_x, cfg.corr_radius)
-            flow_x = -disp
-
-            if cfg.slow_fast_gru and cfg.n_gru_layers == 3:
-                net_list = self.update_block(
-                    net_list, inp_list, iter_fine=False, iter_mid=False,
-                    iter_coarse=True, update=False,
-                )
-            if cfg.slow_fast_gru and cfg.n_gru_layers >= 2:
-                net_list = self.update_block(
-                    net_list, inp_list, iter_fine=False, iter_mid=True,
-                    iter_coarse=cfg.n_gru_layers == 3, update=False,
-                )
-            net_list, delta_flow = self.update_block(
-                net_list, inp_list, corr, flow_x,
-                iter_fine=True, iter_mid=cfg.n_gru_layers >= 2,
-                iter_coarse=cfg.n_gru_layers == 3,
-            )
-            disp_q = disp - delta_flow  # coords1 += Δ ⇒ disp −= Δ
-
-            # gradient-space refinement + propagation (fp32 disparity math)
-            disp_grad_raw, _ = geometry.disp2disp_gradient_xy(
-                jax.lax.stop_gradient(disp_q)
-            )
-            disp_grad, grad_ctx = self.disp_grad_refine(
-                disp_grad_raw, disp_q, grad_list
-            )
-            refined_disp, fused = self.disp_refine(
-                disp_grad, disp_q, net_list[0], grad_ctx
-            )
-            delta_disp = jax.lax.stop_gradient(refined_disp - disp_q)
-            net_list = (
-                self.hiddenstate_update(net_list[0], delta_disp.astype(dt)),
-            ) + tuple(net_list[1:])
-
-            if test_mode:
-                ys = None
-            else:
-                up_mask = self.upsample_mask_head(fused)
-                flows_up = convex_upsample(
-                    -disp_q, jax.lax.stop_gradient(up_mask), f
-                )
-                flow_refine_up = convex_upsample(-refined_disp, up_mask, f)
-                ys = (
-                    flows_up, flow_refine_up, -disp_q, -refined_disp, disp_grad,
-                )
-            return (net_list, refined_disp), (ys, fused) if test_mode is False else (ys, fused)
-
-        (net_list, refined_disp), (ys, fused_seq) = jax.lax.scan(
-            iteration, (net_list, disp0), None, length=iters
+        # --- iterative refinement (lifted scan, params broadcast) ---
+        scan = nn.scan(
+            RefinementCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=iters,
         )
+        (net_list, refined_disp), ys = scan(
+            cfg=cfg, dtype=dt, name="iter_cell"
+        )((net_list, jax.lax.stop_gradient(disp_init)),
+          (pyramid, inp_list, grad_list))
+        flows_up, flow_refine_up, flow_q_seq, flow_refine_q_seq, grads_seq = ys
 
         # --- assemble outputs ---
-        flow_q = -refined_disp
         new_state = TemporalState(
             disp_q=jax.lax.stop_gradient(jnp.maximum(refined_disp, 0.0)),
             net_list=tuple(
@@ -347,13 +338,11 @@ class TCStereo(nn.Module):
             T_prev=T,
             valid=jnp.asarray(True),
         )
+        final_flow = jnp.clip(flow_refine_up[-1], None, 0.0)
 
         if test_mode:
-            final_fused = jax.tree_util.tree_map(lambda x: x[-1], fused_seq)
-            up_mask = self.upsample_mask_head(final_fused)
-            flow_refine_up = convex_upsample(flow_q, up_mask, f)
             return TCStereoOutput(
-                flow=jnp.clip(flow_refine_up, None, 0.0),
+                flow=final_flow,
                 flow_predictions=None,
                 flow_q_predictions=None,
                 disp_grad_q_predictions=None,
@@ -363,9 +352,8 @@ class TCStereo(nn.Module):
                 new_state=new_state,
             )
 
-        flows_up, flow_refine_up, flow_q_seq, flow_refine_q_seq, grads_seq = ys
         return TCStereoOutput(
-            flow=jnp.clip(flow_refine_up[-1], None, 0.0),
+            flow=final_flow,
             flow_predictions=(flows_up, flow_refine_up),
             flow_q_predictions=(flow_q_seq, flow_refine_q_seq),
             disp_grad_q_predictions=grads_seq,

@@ -143,30 +143,47 @@ def upflow(flow: jax.Array, factor: int) -> jax.Array:
     return factor * resize_bilinear(flow, (factor * H, factor * W))
 
 
+def _window_slices(x: jax.Array, window: int, stride: int, padding: int,
+                   pad_value: float):
+    """Yield the window·window strided slices of the padded input.
+
+    Implemented with static slicing instead of ``lax.reduce_window`` because
+    reduce_window cannot be linearized inside ``lax.scan`` (jax 0.9), and both
+    the GRU loop and the frame-BPTT loop here are scans. XLA fuses the shifted
+    adds; for the 3×3/5×5 windows used this is as fast as reduce_window.
+    """
+    B, H, W, C = x.shape
+    if padding:
+        xp = jnp.pad(
+            x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=pad_value,
+        )
+    else:
+        xp = x
+    Hp, Wp = H + 2 * padding, W + 2 * padding
+    Ho = (Hp - window) // stride + 1
+    Wo = (Wp - window) // stride + 1
+    for dv in range(window):
+        for du in range(window):
+            yield xp[:, dv : dv + (Ho - 1) * stride + 1 : stride,
+                     du : du + (Wo - 1) * stride + 1 : stride]
+
+
 def avg_pool(x: jax.Array, window: int, stride: int, padding: int) -> jax.Array:
     """``F.avg_pool2d(count_include_pad=True)`` on NHWC."""
-    summed = lax.reduce_window(
-        x,
-        jnp.array(0, x.dtype),
-        lax.add,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
-    )
-    return summed / (window * window)
+    out = None
+    for s in _window_slices(x, window, stride, padding, 0.0):
+        out = s if out is None else out + s
+    return out / (window * window)
 
 
 def max_pool(x: jax.Array, window: int, stride: int, padding: int) -> jax.Array:
     """``F.max_pool2d`` on NHWC."""
-    init = jnp.array(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return lax.reduce_window(
-        x,
-        init,
-        lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
-    )
+    neg = float("-inf")
+    out = None
+    for s in _window_slices(x, window, stride, padding, neg):
+        out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 def pool2x(x: jax.Array) -> jax.Array:
@@ -176,15 +193,10 @@ def pool2x(x: jax.Array) -> jax.Array:
 
 def pool4x(x: jax.Array) -> jax.Array:
     """``core/update.py:118``: avg_pool2d(x, 5, stride=4, padding=1)."""
-    summed = lax.reduce_window(
-        x,
-        jnp.array(0, x.dtype),
-        lax.add,
-        window_dimensions=(1, 5, 5, 1),
-        window_strides=(1, 4, 4, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
-    return summed / 25.0
+    out = None
+    for s in _window_slices(x, 5, 4, 1, 0.0):
+        out = s if out is None else out + s
+    return out / 25.0
 
 
 def median_pool(x: jax.Array, k: int) -> jax.Array:

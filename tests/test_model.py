@@ -1,0 +1,133 @@
+"""Model construction / forward-pass tests for TCStereo."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcs_tpu.config import ModelConfig
+from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+
+# Tiny but structurally valid: H,W divisible by 64 (1/4 grid divisible by 16
+# for the 3-level GRU ladder and the 8× corr pyramid halving).
+H, W, B = 64, 96, 2
+
+
+def make_inputs(rng, batch=B):
+    img1 = rng.uniform(0, 255, size=(batch, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, size=(batch, H, W, 3)).astype(np.float32)
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]], np.float32)
+    K = np.broadcast_to(K, (batch, 3, 3)).copy()
+    baseline = np.full((batch,), 0.5, np.float32)
+    T = np.broadcast_to(np.eye(4, dtype=np.float32), (batch, 4, 4)).copy()
+    return (
+        jnp.asarray(img1), jnp.asarray(img2),
+        CameraParams(K=jnp.asarray(K), baseline=jnp.asarray(baseline)),
+        jnp.asarray(T),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = ModelConfig(mixed_precision=False)  # fp32 on CPU for test precision
+    model = TCStereo(cfg=cfg)
+    rng = np.random.default_rng(0)
+    img1, img2, cam, T = make_inputs(rng)
+    state = TemporalState.zeros(B, H, W, cfg)
+    params = model.init(jax.random.PRNGKey(0), img1, img2, state, cam, T,
+                        iters=2, test_mode=False)
+    return model, params, cfg
+
+
+def test_param_count_matches_reference(model_and_params):
+    """Reference TCStereo with the launch-script config has exactly
+    16,735,005 trainable parameters (counted from /root/reference with the
+    sceneflow/tartanair flag set)."""
+    _, params, _ = model_and_params
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert n == 16_735_005, n
+
+
+def test_forward_train_shapes(model_and_params):
+    model, params, cfg = model_and_params
+    rng = np.random.default_rng(1)
+    img1, img2, cam, T = make_inputs(rng)
+    state = TemporalState.zeros(B, H, W, cfg)
+    out = model.apply(params, img1, img2, state, cam, T, iters=2,
+                      test_mode=False)
+    f = cfg.downsample_factor
+    h, w = H // f, W // f
+    assert out.flow_predictions[0].shape == (2, B, H, W, 1)
+    assert out.flow_predictions[1].shape == (2, B, H, W, 1)
+    assert out.flow_q_predictions[0].shape == (2, B, h, w, 1)
+    assert out.disp_grad_q_predictions.shape == (2, B, h, w, 2)
+    assert out.flow_init.shape == (B, H, W, 1)
+    assert out.flow_mono.shape == (B, H, W, 1)
+    assert out.cost_volume.shape == (B, h, w, w)
+    assert out.new_state.disp_q.shape == (B, h, w, 1)
+    assert bool(out.new_state.valid)
+    for x in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(x)).all()
+    # predictions are flows (≤ 0 disparity convention): flow = −disp
+    assert np.asarray(out.new_state.disp_q).min() >= 0.0
+
+
+def test_forward_test_mode_and_temporal_carry(model_and_params):
+    model, params, cfg = model_and_params
+    rng = np.random.default_rng(2)
+    img1, img2, cam, T = make_inputs(rng)
+    state = TemporalState.zeros(B, H, W, cfg)
+    out1 = model.apply(params, img1, img2, state, cam, T, iters=2,
+                       test_mode=True)
+    assert out1.flow.shape == (B, H, W, 1)
+    assert np.asarray(out1.flow).max() <= 0.0
+    assert out1.flow_predictions is None
+
+    # Second frame consumes the carried state (warp path under lax.cond).
+    T2 = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    T2[:, 0, 3] = 0.05
+    out2 = model.apply(params, img1, img2, out1.new_state, cam,
+                       jnp.asarray(T2), iters=2, test_mode=True)
+    assert np.isfinite(np.asarray(out2.flow)).all()
+
+
+def test_first_vs_later_frame_differ(model_and_params):
+    """The cond must actually switch paths: outputs with valid=False vs
+    valid=True (same inputs) should differ."""
+    model, params, cfg = model_and_params
+    rng = np.random.default_rng(3)
+    img1, img2, cam, T = make_inputs(rng)
+    state0 = TemporalState.zeros(B, H, W, cfg)
+    out_first = model.apply(params, img1, img2, state0, cam, T, iters=1,
+                            test_mode=True)
+    carried = out_first.new_state
+    out_again_first = model.apply(
+        params, img1, img2, carried.replace(valid=jnp.asarray(False)), cam, T,
+        iters=1, test_mode=True)
+    out_temporal = model.apply(params, img1, img2, carried, cam, T, iters=1,
+                               test_mode=True)
+    d = np.abs(np.asarray(out_again_first.flow) - np.asarray(out_temporal.flow))
+    assert d.max() > 1e-6
+
+
+def test_gradients_finite(model_and_params):
+    model, params, cfg = model_and_params
+    rng = np.random.default_rng(4)
+    img1, img2, cam, T = make_inputs(rng)
+    state = TemporalState.zeros(B, H, W, cfg)
+
+    def loss_fn(p):
+        out = model.apply(p, img1, img2, state, cam, T, iters=2,
+                          test_mode=False)
+        return (
+            jnp.mean(jnp.abs(out.flow_predictions[1]))
+            + jnp.mean(out.cost_volume ** 2)
+            + jnp.mean(jnp.abs(out.flow_mono))
+        )
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # at least most leaves receive gradient
+    nonzero = sum(float(np.abs(np.asarray(g)).sum() > 0) for g in flat)
+    assert nonzero / len(flat) > 0.7, f"only {nonzero}/{len(flat)} leaves got grads"
