@@ -1,0 +1,118 @@
+"""Benchmark: temporal stereo inference throughput on one chip.
+
+Measures steady-state frames/s of the flagship TCStereo model in test mode
+(KITTI-like resolution 384×1280, 5 GRU iterations, temporal state carried
+across frames — the same quantity the reference prints in ``submit_kitti``,
+``evaluate_stereo.py:114-116``).
+
+Prints ONE JSON line:
+  {"metric": "kitti_frames_per_second", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 10.0}
+
+The reference stores no FPS number (BASELINE.md: "measured per run, printed");
+10 frames/s is the documented proxy for the reference's single-GPU KITTI-seq
+throughput (RTX-3090/A100-class, ~0.1 s/frame for RAFT-family temporal stereo
+at KITTI resolution). BASELINE.json's north star is ≥2× frames/s/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 10.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tcs_tpu.config import ModelConfig
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+
+    dev = jax.devices()[0]
+    log(f"benchmarking on {dev} ({jax.default_backend()})")
+
+    B, H, W = 1, 384, 1280
+    iters = 5
+    cfg = ModelConfig()  # mixed_precision=True → bf16 conv stacks
+    model = TCStereo(cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    K = np.broadcast_to(
+        np.array([[721.5, 0, W / 2], [0, 721.5, H / 2], [0, 0, 1]], np.float32),
+        (B, 3, 3),
+    ).copy()
+    cam = CameraParams(K=jnp.asarray(K), baseline=jnp.full((B,), 0.54))
+
+    def frame(seed):
+        r = np.random.default_rng(seed)
+        return (
+            jnp.asarray(r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+            jnp.asarray(r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        )
+
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    state0 = TemporalState.zeros(B, H, W, cfg)
+
+    t0 = time.time()
+    params = model.init(jax.random.PRNGKey(0), *frame(0), state0, cam,
+                        jnp.asarray(eye), iters=iters, test_mode=True)
+    log(f"init: {time.time() - t0:.1f}s")
+
+    @jax.jit
+    def step(params, i1, i2, state, T):
+        out = model.apply(params, i1, i2, state, cam, T, iters=iters,
+                          test_mode=True)
+        return out.flow, out.new_state
+
+    # Compile + first (bootstrap) frame.
+    t0 = time.time()
+    i1, i2 = frame(1)
+    flow, state = step(params, i1, i2, state0, jnp.asarray(eye))
+    flow.block_until_ready()
+    log(f"compile + frame 0: {time.time() - t0:.1f}s")
+
+    # Pre-stage a few distinct frames on device.
+    n_measure = 20
+    frames = [frame(2 + k) for k in range(4)]
+    Ts = []
+    for k in range(n_measure + 5):
+        T = eye.copy()
+        T[:, 0, 3] = 0.01 * k
+        Ts.append(jnp.asarray(T))
+
+    # Warm the steady-state (valid=True) path.
+    for k in range(3):
+        i1, i2 = frames[k % len(frames)]
+        flow, state = step(params, i1, i2, state, Ts[k])
+    flow.block_until_ready()
+
+    # Measure.
+    t0 = time.time()
+    for k in range(n_measure):
+        i1, i2 = frames[k % len(frames)]
+        flow, state = step(params, i1, i2, state, Ts[5 + k])
+    flow.block_until_ready()
+    dt = time.time() - t0
+    fps = n_measure / dt
+    log(f"{n_measure} frames in {dt:.3f}s → {fps:.2f} frames/s "
+        f"({1000 * dt / n_measure:.1f} ms/frame) at {H}x{W}, iters={iters}")
+
+    print(json.dumps({
+        "metric": "kitti_frames_per_second",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference ``evaluate_stereo.py __main__`` +
+``*_evaluate.sh`` / ``submit_kitti.sh``).
+
+Examples:
+  python scripts/evaluate.py --dataset TartanAir --restore_ckpt checkpoints/tartanair
+  python scripts/evaluate.py --dataset things --restore_ckpt checkpoints/sceneflow
+  python scripts/evaluate.py --dataset kitti --restore_ckpt checkpoints/kitti_raw
+"""
+
+import argparse
+import logging
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True,
+                   choices=["kitti", "things", "TartanAir"])
+    p.add_argument("--restore_ckpt", default=None,
+                   help="Orbax params/checkpoint dir (weights-only restore)")
+    p.add_argument("--data_root", default="datasets")
+    p.add_argument("--valid_iters", type=int, default=5)
+    p.add_argument("--max_sequences", type=int, default=None)
+    args = p.parse_args()
+
+    if args.restore_ckpt:
+        import os
+
+        if not os.path.isdir(args.restore_ckpt):
+            sys.exit(f"error: checkpoint directory not found: {args.restore_ckpt}")
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tcs_tpu import evaluate as ev
+    from tcs_tpu.config import ModelConfig
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.utils.checkpoint import CheckpointManager, load_params
+
+    cfg = ModelConfig()
+    model = TCStereo(cfg=cfg)
+
+    # Build a parameter skeleton, then restore.
+    H, W = 64, 96
+    state0 = TemporalState.zeros(1, H, W, cfg)
+    cam = CameraParams(K=jnp.eye(3)[None], baseline=jnp.ones((1,)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+                        jnp.zeros((1, H, W, 3)), state0, cam,
+                        jnp.eye(4)[None], iters=1, test_mode=True)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"The model has {n / 1e6:.2f}M learnable parameters.")
+
+    if args.restore_ckpt:
+        import os
+
+        if not os.path.isdir(args.restore_ckpt):
+            sys.exit(f"error: checkpoint directory not found: {args.restore_ckpt}")
+        try:
+            params = load_params(args.restore_ckpt, params)
+        except Exception:
+            params = CheckpointManager(args.restore_ckpt).restore_params_only(params)
+        print(f"Loaded checkpoint {args.restore_ckpt}")
+
+    if args.dataset == "TartanAir":
+        ev.validate_tartanair(model, params, cfg, iters=args.valid_iters,
+                              root=args.data_root,
+                              max_sequences=args.max_sequences)
+    elif args.dataset == "things":
+        ev.validate_temporal_things(model, params, cfg, iters=args.valid_iters,
+                                    root=args.data_root,
+                                    max_sequences=args.max_sequences)
+    else:
+        ev.submit_kitti(model, params, cfg, iters=args.valid_iters,
+                        root=f"{args.data_root}/KITTI")
+
+
+if __name__ == "__main__":
+    main()

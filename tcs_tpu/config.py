@@ -77,6 +77,9 @@ class TrainConfig:
     do_flip: Optional[str] = None
     spatial_scale: Tuple[float, float] = (-0.2, 0.4)
     yjitter: bool = False  # all recipes pass --noyjitter
+    # Rematerialize each frame's forward in the BPTT backward pass
+    # (jax.checkpoint): trades FLOPs for activation memory on long windows.
+    remat_frames: bool = True
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"

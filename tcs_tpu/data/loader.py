@@ -1,0 +1,103 @@
+"""Batched, prefetching sequence loader with data-parallel sharding.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(``stereo_datasets.py:722-736``): per-epoch shuffling with a seedable
+permutation, per-process sharding (each process loads only its rows),
+drop_last batching, and a bounded background prefetcher. Deterministic:
+sample augmentation RNG is derived from (seed, epoch, global_index), so a
+restarted run resumes with identical data order regardless of worker timing
+(the reference seeds per worker instead, :52-62).
+
+The output batches are plain numpy dicts — feed them through
+``tcs_tpu.parallel.shard_batch`` / ``global_batch_from_local`` to get
+device-resident sharded arrays.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from tcs_tpu.data.datasets import StereoSequenceDataset
+
+
+class SequenceLoader:
+    def __init__(self, dataset: StereoSequenceDataset, batch_size: int,
+                 seed: int = 1234, shard_id: int = 0, num_shards: int = 1,
+                 num_workers: int = 2, prefetch: int = 4,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """DistributedSampler.set_epoch equivalent: reshuffle per epoch."""
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        perm = rng.permutation(n)
+        # pad so every shard sees the same number of samples
+        per_shard = -(-n // self.num_shards)
+        padded = np.concatenate([perm, perm[: per_shard * self.num_shards - n]])
+        return padded[self.shard_id :: self.num_shards]
+
+    def __len__(self):
+        per_shard = len(self._epoch_indices())
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return -(-per_shard // self.batch_size)
+
+    def _load_one(self, global_index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, self.epoch, int(global_index)))
+        return self.dataset.load_sample(int(global_index), rng)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        n_batches = len(self)
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self._load_one(i) for i in batch_idx]
+                    collated = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                    }
+                    out_q.put(collated)
+            except Exception as e:  # surface loader errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -164,7 +164,9 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # torch padding p ↔ lax.conv_transpose padding (k−1−p) per side.
+        # torch ConvTranspose2d(k, s, p) ≡ flax ConvTranspose with
+        # transpose_kernel=True and per-side padding (k−1−p); verified
+        # numerically against torch (see tests/test_layers.py).
         lp = self.kernel - 1 - self.padding
         return nn.ConvTranspose(
             features=self.features,
@@ -172,6 +174,7 @@ class ConvTranspose(nn.Module):
             strides=(self.stride, self.stride),
             padding=((lp, lp), (lp, lp)),
             use_bias=self.use_bias,
+            transpose_kernel=True,
             kernel_init=torch_default_kernel_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,

@@ -114,7 +114,6 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
         cam = CameraParams(K=batch.K, baseline=batch.baseline)
         init_state = TemporalState.zeros(B, H, W, cfg.model)
 
-        @functools.partial(jax.checkpoint, prevent_cse=False)
         def frame_step(state, frame: FrameBatch):
             out = model.apply(
                 params, frame.image1, frame.image2, state, cam, frame.T,
@@ -122,6 +121,9 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             )
             floss, metrics = frame_losses(out, frame, cfg)
             return out.new_state, (floss, metrics)
+
+        if cfg.remat_frames:
+            frame_step = jax.checkpoint(frame_step, prevent_cse=False)
 
         frames = jax.tree_util.tree_map(
             lambda x: jnp.swapaxes(x, 0, 1),

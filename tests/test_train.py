@@ -1,0 +1,141 @@
+"""Training stack tests: optimizer schedule, checkpoint resume, synthetic
+end-to-end train step, temporal evaluator."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcs_tpu.config import ModelConfig, TrainConfig
+from tcs_tpu.data.loader import SequenceLoader
+from tcs_tpu.data.synthetic import SyntheticStereoSequence, make_synthetic_frame
+from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+from tcs_tpu.train import make_optimizer
+from tcs_tpu.train.optim import onecycle_linear_schedule
+from tcs_tpu.train.train_step import (
+    SequenceBatch,
+    TrainState,
+    make_train_step,
+)
+
+H, W = 64, 64
+
+
+def small_cfg(**kw):
+    return TrainConfig(
+        model=ModelConfig(mixed_precision=False),
+        train_iters=1, batch_size=1, image_size=(H, W), frame_length=2,
+        num_steps=100, remat_frames=False, **kw,
+    )
+
+
+def test_onecycle_schedule_shape():
+    s = onecycle_linear_schedule(2e-4, 1000, pct_start=0.01)
+    lr0 = float(s(0))
+    lr_peak = float(s(10))
+    lr_end = float(s(1000))
+    assert lr0 == pytest.approx(2e-4 / 25)
+    assert lr_peak == pytest.approx(2e-4)
+    assert lr_end < 1e-6
+    # monotone up then down
+    assert float(s(5)) > lr0 and float(s(500)) < lr_peak
+
+
+def test_synthetic_frame_consistency(rng):
+    l, r = make_synthetic_frame(rng, 32, 48, 5.0)
+    # right shifted by disparity: left[y, x] == right[y, x-5]
+    np.testing.assert_allclose(r[:, :43], l[:, 5:], atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    cfg = small_cfg()
+    model = TCStereo(cfg=cfg.model)
+    ds = SyntheticStereoSequence(n_samples=8, frame_length=2, height=H, width=W)
+    loader = SequenceLoader(ds, batch_size=1, seed=0, num_workers=1)
+    np_batch = next(iter(loader))
+    batch = SequenceBatch(
+        image1=jnp.asarray(np_batch["image1"]),
+        image2=jnp.asarray(np_batch["image2"]),
+        flow=jnp.asarray(np_batch["flow"]),
+        valid=jnp.asarray(np_batch["valid"]),
+        T=jnp.asarray(np_batch["T"]),
+        K=jnp.asarray(np_batch["K"]),
+        baseline=jnp.asarray(np_batch["baseline"]),
+    )
+    state0 = TemporalState.zeros(1, H, W, cfg.model)
+    cam = CameraParams(K=batch.K, baseline=batch.baseline)
+    params = model.init(jax.random.PRNGKey(0), batch.image1[:, 0],
+                        batch.image2[:, 0], state0, cam, batch.T[:, 0],
+                        iters=1, test_mode=False)
+    ts = TrainState.create(apply_fn=model.apply, params=params,
+                           tx=make_optimizer(cfg))
+    return cfg, model, ts, batch
+
+
+def test_train_step_runs_and_optimizes(train_setup):
+    cfg, model, ts, batch = train_setup
+    step = make_train_step(model, cfg, donate=False)
+    ts1, m1 = step(ts, batch)
+    ts2, m2 = step(ts1, batch)
+    assert np.isfinite(float(m1["live_loss"]))
+    assert np.isfinite(float(m2["grad_norm"]))
+    assert float(m2["live_loss"]) < float(m1["live_loss"])  # same batch twice
+    assert int(ts2.step) == 2
+
+
+def test_checkpoint_full_resume(train_setup, tmp_path):
+    from tcs_tpu.utils.checkpoint import CheckpointManager
+
+    cfg, model, ts, batch = train_setup
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, ts, wait=True)
+    assert mgr.latest_step() == 3
+    restored = mgr.restore(ts)
+    for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # weights-only restore (reference --restore_ckpt semantics)
+    params = mgr.restore_params_only(ts.params)
+    for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_temporal_evaluator_pads_and_carries(train_setup):
+    from tcs_tpu.evaluate import TemporalEvaluator
+
+    cfg, model, ts, batch = train_setup
+    ev = TemporalEvaluator(model, ts.params, cfg.model, iters=1)
+    rng = np.random.default_rng(0)
+    # Non-multiple-of-32 resolution exercises the padder path.
+    l, r = make_synthetic_frame(rng, 50, 70, 4.0)
+    K = np.array([[100.0, 0, 35.0], [0, 100.0, 25.0], [0, 0, 1]], np.float32)
+    d1 = ev(l, r, K, 0.5, np.eye(4, dtype=np.float32))
+    assert d1.shape == (50, 70)
+    assert ev.state is not None
+    T2 = np.eye(4, dtype=np.float32)
+    T2[0, 3] = 0.01
+    d2 = ev(l, r, K, 0.5, T2)
+    assert np.isfinite(d2).all() and d2.min() >= 0.0
+
+
+def test_loader_into_mesh_sharding(train_setup):
+    """Batch sharding over the 8 virtual CPU devices."""
+    from tcs_tpu.parallel import mesh as mesh_lib
+
+    cfg, model, ts, batch = train_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.create_mesh(jax.devices()[:8])
+    b8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 8, axis=0), batch
+    )
+    sharded = mesh_lib.shard_batch(b8, mesh)
+    assert len(sharded.image1.sharding.device_set) == 8
+    rep = mesh_lib.replicate(ts.params, mesh)
+    leaf = jax.tree_util.tree_leaves(rep)[0]
+    assert len(leaf.sharding.device_set) == 8
