@@ -114,6 +114,39 @@ class StereoSequenceDataset:
             return img1, img2, disp, pose, self.flow_list[index]
         return img1, img2, disp, pose
 
+    def load_pair(self, index, rng: np.random.Generator):
+        """Single-pair loading path (non-temporal datasets: ETH3D, Sintel,
+        Middlebury, FallingThings, single-frame SceneFlow/TartanAir/KITTI —
+        reference ``stereo_datasets.py:164-214``).
+
+        Returns dict with image1/image2 (H,W,3) f32, flow (H,W,1), valid
+        (H,W,1).
+        """
+        index = index % len(self.image_list)
+        disp = self.disparity_reader(self.disparity_list[index])
+        if isinstance(disp, tuple):
+            disp, valid = disp
+        else:
+            valid = disp < 512
+        img1 = frame_utils.read_image(self.image_list[index][0])
+        img2 = frame_utils.read_image(self.image_list[index][1])
+        disp = np.asarray(disp, np.float32)
+        flow = -disp[..., None]
+        valid = np.asarray(valid, np.float32)[..., None]
+
+        if self.augmentor is not None:
+            K = self.sample_K(index) if self.intrinsic_K is not None else np.eye(3)
+            s1, s2, f, v, _ = self.augmentor(
+                img1[None], img2[None], flow[None], valid[None], K, rng
+            )
+            img1, img2, flow, valid = s1[0], s2[0], f[0], v[0]
+        return {
+            "image1": np.asarray(img1, np.float32),
+            "image2": np.asarray(img2, np.float32),
+            "flow": np.asarray(flow, np.float32),
+            "valid": np.asarray(valid, np.float32),
+        }
+
     def load_sample(self, index, rng: np.random.Generator):
         """Load + augment one training sample.
 

@@ -29,8 +29,35 @@ import numpy as np
 from PIL import Image
 
 
+def _native():
+    """Native C++ decode core (``native/tcs_io.cc``), or None."""
+    try:
+        from tcs_tpu.data import native_io
+
+        return native_io if native_io.available() else None
+    except Exception:
+        return None
+
+
 def read_image(path) -> np.ndarray:
     """RGB uint8 (H, W, 3); grayscale inputs are tiled to 3 channels."""
+    nat = _native()
+    if nat is not None:
+        try:
+            ext = splitext(str(path))[-1].lower()
+            if ext == ".png":
+                img = nat.read_png(str(path))
+            elif ext in (".jpg", ".jpeg"):
+                img = nat.read_jpeg(str(path))
+            else:
+                img = np.asarray(Image.open(path))
+            if img.dtype == np.uint16:
+                img = (img >> 8).astype(np.uint8)
+            if img.ndim == 2:
+                img = np.tile(img[..., None], (1, 1, 3))
+            return img[..., :3]
+        except Exception:
+            pass
     img = np.asarray(Image.open(path))
     if img.ndim == 2:
         img = np.tile(img[..., None], (1, 1, 3))
@@ -38,6 +65,12 @@ def read_image(path) -> np.ndarray:
 
 
 def readPFM(path) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.read_pfm(str(path))
+        except Exception:
+            pass
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":
@@ -67,6 +100,13 @@ def writePFM(path, array: np.ndarray):
 
 
 def read_uint16_png(path) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        try:
+            out = nat.read_png(str(path))
+            return out.astype(np.uint16)
+        except Exception:
+            pass
     return np.asarray(Image.open(path), dtype=np.uint16)
 
 

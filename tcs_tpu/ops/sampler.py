@@ -215,6 +215,23 @@ def median_pool(x: jax.Array, k: int) -> jax.Array:
     return xw[..., (k * k - 1) // 2]
 
 
+def median_filter(x: jax.Array, k: int = 3) -> jax.Array:
+    """Overlapping k×k median filter, stride 1, reflect padding — the general
+    ``MedianPool2d(k, 1, pad, same)`` case (reference utils.py:121; the
+    non-overlapping loss path uses :func:`median_pool`). Torch lower-median."""
+    B, H, W, C = x.shape
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, k - 1 - p), (p, k - 1 - p), (0, 0)),
+                 mode="reflect")
+    taps = [
+        xp[:, dv : dv + H, du : du + W]
+        for dv in range(k)
+        for du in range(k)
+    ]
+    stacked = jnp.stack(taps, axis=-1)
+    return jnp.sort(stacked, axis=-1)[..., (k * k - 1) // 2]
+
+
 def unfold3x3(x: jax.Array) -> jax.Array:
     """3×3 neighbourhood stack with zero padding.
 

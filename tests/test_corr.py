@@ -106,3 +106,25 @@ def test_argmax_disp_suppression_band():
     cv[0, 0, 0, 1] = 0.85  # within band of index 0
     disp, cost, mask = corr.argmax_disp(jnp.asarray(cv), margin=0.3)
     assert np.asarray(mask)[0, 0, 0, 0] == 1.0
+
+
+def test_lookup_fast_matches_gather_oracle(rng):
+    """Windowed one-hot lookup ≡ per-element gather lookup, incl. edges."""
+    B, H, W, C, levels, r = 2, 3, 32, 8, 4, 4
+    f1 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    f2 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    cv = corr.build_cost_volume(jnp.asarray(f1), jnp.asarray(f2))
+    pyr = corr.corr_pyramid(cv, levels)
+    # coordinates spanning out-of-range, edges and interior
+    coords = rng.uniform(-6, W + 6, size=(B, H, W)).astype(np.float32)
+    ref = np.asarray(corr.lookup_gather(pyr, jnp.asarray(coords), r))
+    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup):
+        fast = np.asarray(impl(pyr, jnp.asarray(coords), r))
+        np.testing.assert_allclose(fast, ref, atol=1e-5)
+
+    # exactly-integer coordinates (alpha == 0 boundary cases)
+    coords_i = np.round(coords).astype(np.float32)
+    ref = np.asarray(corr.lookup_gather(pyr, jnp.asarray(coords_i), r))
+    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup):
+        fast = np.asarray(impl(pyr, jnp.asarray(coords_i), r))
+        np.testing.assert_allclose(fast, ref, atol=1e-5)

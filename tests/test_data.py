@@ -264,3 +264,77 @@ def test_loader_batching_sharding(fake_tartanair):
     i0 = l0._epoch_indices()
     i1 = l1._epoch_indices()
     assert len(set(map(int, i0)) & set(map(int, i1))) <= 0  # disjoint (8 % 2 == 0)
+
+
+# ---------------------------------------------------------------------------
+# native IO core
+# ---------------------------------------------------------------------------
+
+
+def test_native_io_parity(tmp_path, rng):
+    from tcs_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native lib not built")
+    img = rng.integers(0, 255, size=(50, 70, 3)).astype(np.uint8)
+    p = str(tmp_path / "a.png")
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(native_io.read_png(p), img)
+
+    d16 = (rng.uniform(0, 90, size=(40, 60)) * 256).astype(np.uint16)
+    p16 = str(tmp_path / "d.png")
+    Image.fromarray(d16).save(p16)
+    np.testing.assert_array_equal(native_io.read_png(p16), d16)
+    disp, valid = frame_utils.readDispKITTI(p16)
+    np.testing.assert_allclose(disp, d16.astype(np.float32) / 256.0, atol=1e-6)
+
+    arr = rng.normal(size=(30, 40)).astype(np.float32)
+    pp = str(tmp_path / "x.pfm")
+    frame_utils.writePFM(pp, arr)
+    np.testing.assert_allclose(native_io.read_pfm(pp), arr, atol=1e-6)
+
+    # resize parity with the pure-numpy implementation
+    from tcs_tpu.data.augmentor import _resize_bilinear_np
+
+    x = rng.normal(size=(37, 53, 3)).astype(np.float32)
+    a = native_io.resize_bilinear(x, 64, 96)
+    # numpy reference path (bypass the native dispatch)
+    H, W = x.shape[:2]
+    ys = (np.arange(64) + 0.5) * (H / 64) - 0.5
+    xs = (np.arange(96) + 0.5) * (W / 96) - 0.5
+    y0 = np.clip(np.floor(ys), 0, H - 1).astype(int)
+    x0 = np.clip(np.floor(xs), 0, W - 1).astype(int)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    top = x[y0][:, x0] * (1 - fx) + x[y0][:, x1] * fx
+    bot = x[y1][:, x0] * (1 - fx) + x[y1][:, x1] * fx
+    b = top * (1 - fy) + bot * fy
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_single_pair_loading(tmp_path, rng):
+    """load_pair path with a sparse augmentor (ETH3D-style single pairs)."""
+    from tcs_tpu.data.datasets import StereoSequenceDataset
+
+    ds = StereoSequenceDataset(
+        {"crop_size": (48, 64), "min_scale": -0.2, "max_scale": 0.2,
+         "do_flip": False, "yjitter": False},
+        sparse=True,
+    )
+    img = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    p1, p2 = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    Image.fromarray(img).save(p1)
+    Image.fromarray(img).save(p2)
+    disp = (rng.uniform(0, 30, size=(80, 100)) * 256).astype(np.uint16)
+    pd = str(tmp_path / "d.png")
+    Image.fromarray(disp).save(pd)
+    ds.image_list = [[p1, p2]]
+    ds.disparity_list = [pd]
+    ds.disparity_reader = frame_utils.readDispKITTI
+    s = ds.load_pair(0, np.random.default_rng(0))
+    assert s["image1"].shape == (48, 64, 3)
+    assert s["flow"].shape == (48, 64, 1)
+    assert s["flow"].max() <= 0.0
+    assert set(np.unique(s["valid"])).issubset({0.0, 1.0})

@@ -134,3 +134,15 @@ def test_replicate_pad(rng):
     ours = sampler.replicate_pad(jnp.asarray(x), (1, 2, 3, 4))
     ref = F.pad(to_torch_nchw(x), (1, 2, 3, 4), mode="replicate")
     np.testing.assert_allclose(np.asarray(ours), from_torch_nchw(ref), atol=1e-6)
+
+
+def test_median_filter_matches_torch_unfold(rng):
+    from tcs_tpu.ops.sampler import median_filter
+
+    x = rng.normal(size=(1, 6, 7, 2)).astype(np.float32)
+    ours = median_filter(jnp.asarray(x), 3)
+    t = to_torch_nchw(x)
+    tp = F.pad(t, (1, 1, 1, 1), mode="reflect")
+    tu = tp.unfold(2, 3, 1).unfold(3, 3, 1)
+    ref = tu.contiguous().view(*tu.shape[:4], -1).median(dim=-1)[0]
+    np.testing.assert_allclose(np.asarray(ours), from_torch_nchw(ref), atol=1e-6)
