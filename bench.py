@@ -62,10 +62,23 @@ def main():
     eye = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
     state0 = TemporalState.zeros(B, H, W, cfg)
 
+    # Benchmark-only parameter generation: trace the init for shapes
+    # (eval_shape, no compile) and fill host-side — avoids compiling the full
+    # init graph on the device (hundreds of seconds over a remote tunnel).
     t0 = time.time()
-    params = model.init(jax.random.PRNGKey(0), *frame(0), state0, cam,
-                        jnp.asarray(eye), iters=iters, test_mode=True)
-    log(f"init: {time.time() - t0:.1f}s")
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, *frame(0), state0, cam, jnp.asarray(eye),
+                             iters=iters, test_mode=True),
+        jax.random.PRNGKey(0),
+    )
+    host_rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            (host_rng.standard_normal(s.shape) * 0.02).astype(s.dtype)
+        ),
+        shapes,
+    )
+    log(f"param generation (eval_shape + host fill): {time.time() - t0:.1f}s")
 
     @jax.jit
     def step(params, i1, i2, state, T):

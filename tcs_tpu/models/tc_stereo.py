@@ -170,12 +170,9 @@ class RefinementCell(nn.Module):
             ),
         ) + tuple(net_list[1:])
 
-        up_mask = UpsampleMaskHead(downsample_factor=f, dtype=dt,
-                                   name="upsample_mask_head")(fused)
-        flows_up = convex_upsample(-disp_q, jax.lax.stop_gradient(up_mask), f)
-        flow_refine_up = convex_upsample(-refined_disp, up_mask, f)
-
-        ys = (flows_up, flow_refine_up, -disp_q, -refined_disp, disp_grad)
+        # Convex upsampling + its mask head run OUTSIDE the scan (batched over
+        # iterations in train mode, final-iteration-only in test mode).
+        ys = (disp_q, refined_disp, disp_grad, fused)
         return (net_list, refined_disp), ys
 
 
@@ -326,7 +323,10 @@ class TCStereo(nn.Module):
             cfg=cfg, dtype=dt, name="iter_cell"
         )((net_list, jax.lax.stop_gradient(disp_init)),
           (pyramid, inp_list, grad_list))
-        flows_up, flow_refine_up, flow_q_seq, flow_refine_q_seq, grads_seq = ys
+        disp_q_seq, refined_seq, grads_seq, fused_seq = ys
+
+        mask_head = UpsampleMaskHead(downsample_factor=f, dtype=dt,
+                                     name="upsample_mask_head")
 
         # --- assemble outputs ---
         new_state = TemporalState(
@@ -338,9 +338,13 @@ class TCStereo(nn.Module):
             T_prev=T,
             valid=jnp.asarray(True),
         )
-        final_flow = jnp.clip(flow_refine_up[-1], None, 0.0)
 
         if test_mode:
+            # Mask head + convex upsample on the final iteration only.
+            up_mask = mask_head(fused_seq[-1])
+            final_flow = jnp.clip(
+                convex_upsample(-refined_seq[-1], up_mask, f), None, 0.0
+            )
             return TCStereoOutput(
                 flow=final_flow,
                 flow_predictions=None,
@@ -352,10 +356,27 @@ class TCStereo(nn.Module):
                 new_state=new_state,
             )
 
+        # Train: fold the iteration axis into the batch so the mask head and
+        # upsampling run once over all iterations (identical numerics to
+        # per-iteration application — they are per-pixel ops).
+        n_it = disp_q_seq.shape[0]
+        h, w = H // f, W // f
+
+        def fold(x):
+            return x.reshape(n_it * B, *x.shape[2:])
+
+        up_mask = mask_head(fold(fused_seq))
+        flows_up = convex_upsample(
+            fold(-disp_q_seq), jax.lax.stop_gradient(up_mask), f
+        ).reshape(n_it, B, H, W, 1)
+        flow_refine_up = convex_upsample(
+            fold(-refined_seq), up_mask, f
+        ).reshape(n_it, B, H, W, 1)
+
         return TCStereoOutput(
-            flow=final_flow,
+            flow=jnp.clip(flow_refine_up[-1], None, 0.0),
             flow_predictions=(flows_up, flow_refine_up),
-            flow_q_predictions=(flow_q_seq, flow_refine_q_seq),
+            flow_q_predictions=(-disp_q_seq, -refined_seq),
             disp_grad_q_predictions=grads_seq,
             flow_init=-float(f) * resize_bilinear(disp_init, (H, W)),
             flow_mono=-float(f) * resize_bilinear(disp_mono, (H, W)),

@@ -187,7 +187,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray], n_gru_layers: int = 3) -> Dict
         "w_head": _convseq(sd, "disp_refine.w_head", (0, 2)),
     }
     cell["disp_refine"] = dr
-    cell["upsample_mask_head"] = {
+    # The convex-upsample mask head lives at the top level in tcs_tpu (it is
+    # applied outside the iteration scan, batched over iterations).
+    p["upsample_mask_head"] = {
         "mask": _convseq(sd, "disp_refine.mask", (0, 2)),
     }
     cell["hiddenstate_update"] = {
