@@ -36,6 +36,9 @@ class ModelConfig:
     argmax_margin: float = 0.3
     # Max candidate disparity band suppressed around the main peak (px).
     argmax_suppress_radius: float = 1.5
+    # lax.scan unroll factor for the GRU iteration loop (1 = no unroll;
+    # larger values let XLA fuse across iterations at higher compile cost).
+    scan_unroll: int = 1
 
     @property
     def scale_rate(self) -> float:

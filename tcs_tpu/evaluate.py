@@ -109,6 +109,25 @@ def _epe_metrics(disp_pr, disp_gt, max_disp=192.0):
     }
 
 
+def temporal_consistency_metrics(prev_disp, disp, prev_gt, gt,
+                                 max_disp: float = 192.0) -> Optional[Dict]:
+    """Temporal-consistency metrics in the spirit of the paper's supplementary
+    Table 2 (BASELINE.md): |Δd|>3px — the predicted frame-to-frame disparity
+    change deviates from the GT change by >3 px — and Relu(Δe)>3px — the
+    per-pixel error *increased* by >3 px versus the previous frame.
+    Pixel-aligned interpretation (no reprojection); both frames' GT must be
+    valid."""
+    val = (np.abs(gt) < max_disp) & (np.abs(prev_gt) < max_disp)
+    if not val.any():
+        return None
+    dd = (disp - prev_disp) - (gt - prev_gt)
+    de = np.abs(disp - gt) - np.abs(prev_disp - prev_gt)
+    return {
+        "tc_dd3": float((np.abs(dd) > 3.0)[val].mean()),
+        "tc_de3": float((np.maximum(de, 0.0) > 3.0)[val].mean()),
+    }
+
+
 def _aggregate(rows: List[Dict], prefix: str) -> Dict[str, float]:
     epe = float(np.mean([r["epe"] for r in rows]))
     rate = np.mean([r["rate"] for r in rows])
@@ -126,10 +145,12 @@ def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
                    mode="temporal", load_flow=False)
     ev = TemporalEvaluator(model, params, cfg, iters)
     rows = []
+    tc_rows = []
     n_seq = len(ds) if max_sequences is None else min(len(ds), max_sequences)
     for s in range(n_seq):
         img1s, img2s, disps, poses = ds.test_sequence(s)
         ev.reset()
+        prev_disp = prev_gt = None
         frames = zip(img1s, img2s, disps, poses)
         for j, (p1, p2, pd, T) in enumerate(frames):
             if max_frames is not None and j >= max_frames:
@@ -141,7 +162,18 @@ def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
             m = _epe_metrics(disp, disp_gt)
             if m:
                 rows.append(m)
+            if prev_disp is not None:
+                tc = temporal_consistency_metrics(prev_disp, disp, prev_gt,
+                                                  disp_gt)
+                if tc:
+                    tc_rows.append(tc)
+            prev_disp, prev_gt = disp, disp_gt
     results = _aggregate(rows, "TartanAir")
+    if tc_rows:
+        results["TartanAir-tc-dd3"] = 100.0 * float(
+            np.mean([r["tc_dd3"] for r in tc_rows]))
+        results["TartanAir-tc-de3"] = 100.0 * float(
+            np.mean([r["tc_de3"] for r in tc_rows]))
     logger.info("Validation TartanAir: %s", results)
     return results
 

@@ -318,6 +318,7 @@ class TCStereo(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
             length=iters,
+            unroll=min(cfg.scan_unroll, iters),
         )
         (net_list, refined_disp), ys = scan(
             cfg=cfg, dtype=dt, name="iter_cell"

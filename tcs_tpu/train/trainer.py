@@ -33,9 +33,14 @@ logger = logging.getLogger(__name__)
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig, use_wandb: bool = False):
+    def __init__(self, cfg: TrainConfig, use_wandb: bool = False,
+                 debug_nans: bool = False):
         self.cfg = cfg
         self.model = TCStereo(cfg=cfg.model)
+        if debug_nans:
+            from tcs_tpu.utils.debug import enable_nan_checks
+
+            enable_nan_checks(True)
         self.mesh = mesh_lib.create_mesh()
         self.n_shards = jax.process_count()
         self.global_batch = cfg.batch_size * len(jax.devices())
@@ -112,6 +117,25 @@ class Trainer:
         total_steps = int(ts.step)
         epoch = 0
         t_start = time.time()
+
+        # Preemption handling: checkpoint on SIGTERM, then exit cleanly (the
+        # Orbax full-state resume picks up at the same step).
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not in main thread
+            prev_handler = None
+
+        from tcs_tpu.utils.debug import FailureDetector
+
+        detector = FailureDetector(patience=3)
+
         with self.mesh:
             while total_steps < num_steps:
                 epoch += 1
@@ -121,6 +145,26 @@ class Trainer:
                     ts, metrics = train_step(ts, batch)
                     self.logger.push(metrics)
                     total_steps += 1
+                    if not detector.update(metrics):
+                        logger.error(
+                            "divergence detected at step %d; restoring last "
+                            "checkpoint", total_steps)
+                        if self.ckpt.latest_step() is not None:
+                            ts = mesh_lib.replicate(
+                                self.ckpt.restore(
+                                    jax.tree_util.tree_map(np.asarray, ts)
+                                ),
+                                self.mesh,
+                            )
+                        detector.consecutive_bad = 0
+                    if preempted["flag"]:
+                        logger.warning("SIGTERM received: checkpointing at "
+                                       "step %d and exiting", total_steps)
+                        if jax.process_index() == 0:
+                            self.ckpt.save(total_steps, ts, wait=True)
+                        if prev_handler is not None:
+                            signal.signal(signal.SIGTERM, prev_handler)
+                        return ts
 
                     if total_steps % cfg.validation_frequency == cfg.validation_frequency - 1:
                         if jax.process_index() == 0:

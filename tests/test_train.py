@@ -139,3 +139,33 @@ def test_loader_into_mesh_sharding(train_setup):
     rep = mesh_lib.replicate(ts.params, mesh)
     leaf = jax.tree_util.tree_leaves(rep)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_failure_detector():
+    from tcs_tpu.utils.debug import FailureDetector
+
+    d = FailureDetector(patience=2)
+    assert d.update({"live_loss": 1.0, "grad_norm": 10.0})
+    assert d.update({"live_loss": float("nan"), "grad_norm": 10.0})  # 1 bad
+    assert not d.update({"live_loss": 2.0, "grad_norm": float("inf")})  # 2 bad
+    assert d.update({"live_loss": 1.0, "grad_norm": 5.0})  # recovers
+    assert d.consecutive_bad == 0
+
+
+def test_temporal_consistency_metrics():
+    from tcs_tpu.evaluate import temporal_consistency_metrics
+
+    gt0 = np.full((4, 4), 10.0, np.float32)
+    gt1 = np.full((4, 4), 12.0, np.float32)
+    # prediction tracks the GT change exactly → dd == 0; error shrinks → de ≤ 0
+    m = temporal_consistency_metrics(gt0 + 1.0, gt1 + 0.5, gt0, gt1)
+    assert m["tc_dd3"] == 0.0 and m["tc_de3"] == 0.0
+    # prediction jumps 10px while GT moved 2px → dd = 8 > 3 everywhere,
+    # and error grows by 9px → de > 3 everywhere
+    m = temporal_consistency_metrics(gt0 + 1.0, gt1 + 10.0, gt0, gt1)
+    assert m["tc_dd3"] == 1.0
+    assert m["tc_de3"] == 1.0
+    # invalid GT (≥192) excluded
+    m = temporal_consistency_metrics(gt0, gt1, np.full((4, 4), 300.0),
+                                     np.full((4, 4), 300.0))
+    assert m is None
