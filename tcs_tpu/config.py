@@ -39,6 +39,10 @@ class ModelConfig:
     # lax.scan unroll factor for the GRU iteration loop (1 = no unroll;
     # larger values let XLA fuse across iterations at higher compile cost).
     scan_unroll: int = 1
+    # Correlation lookup backend: 'onehot' (XLA dense one-hot reductions,
+    # differentiable — use for training) or 'pallas' (fused VMEM kernel,
+    # forward-only — inference/serving).
+    lookup_backend: str = "onehot"
 
     @property
     def scale_rate(self) -> float:

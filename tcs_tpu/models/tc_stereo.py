@@ -127,7 +127,14 @@ class RefinementCell(nn.Module):
 
         disp = jax.lax.stop_gradient(disp)
         coords_x = coords_grid(B, h, w)[..., 0] - disp[..., 0]
-        corr = corr_ops.lookup(pyramid, coords_x, cfg.corr_radius)
+        if cfg.lookup_backend == "pallas":
+            from tcs_tpu.ops.pallas.corr_kernel import lookup_pallas
+
+            corr = lookup_pallas(pyramid[0], coords_x,
+                                 radius=cfg.corr_radius,
+                                 num_levels=cfg.corr_levels)
+        else:
+            corr = corr_ops.lookup(pyramid, coords_x, cfg.corr_radius)
         flow_x = -disp
 
         update_block = BasicMultiUpdateBlock(
@@ -227,7 +234,11 @@ class TCStereo(nn.Module):
 
         # --- cost volume (fp32, MXU einsum) ---
         raw_cv = corr_ops.build_cost_volume(fmap1, fmap2)
-        pyramid = corr_ops.corr_pyramid(raw_cv, cfg.corr_levels)
+        if cfg.lookup_backend == "pallas":
+            # The fused kernel pools levels in-register; no pyramid needed.
+            pyramid = (raw_cv,)
+        else:
+            pyramid = corr_ops.corr_pyramid(raw_cv, cfg.corr_levels)
         cost_volume = corr_ops.masked_cost_volume(raw_cv)
 
         # --- temporal initialisation ---

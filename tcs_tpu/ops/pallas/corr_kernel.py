@@ -32,21 +32,23 @@ def _lookup_kernel(corr_ref, coords_ref, out_ref, *, radius: int,
     corr = corr_ref[...]  # (TH, W1, W2) fp32
     coords = coords_ref[...]  # (TH, W1)
     TH, W1, W2 = corr.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (TH, W1, W2), 2)
 
-    level = corr
+    # The level-i pooled value pooled[p] = mean(raw[p·2^i : (p+1)·2^i]), so a
+    # one-hot over the pooled axis becomes (lane >> i) == p with weight /2^i
+    # over the raw lanes — no reshape/pooling inside the kernel (Mosaic does
+    # not support lane-axis shape casts), every level reads the same lanes.
     for i in range(num_levels):
-        W2i = level.shape[-1]
-        c = coords / (2.0 ** i)
+        scale = 2.0 ** i
+        c = coords / scale
         base = jnp.floor(c)
         frac = (c - base)[..., None]  # (TH, W1, 1)
         basei = base.astype(jnp.int32)[..., None]  # (TH, W1, 1)
-        j = jax.lax.broadcasted_iota(jnp.int32, (TH, W1, W2i), 2)
+        jdiv = j >> i
         for t, dx in enumerate(range(-r, r + 1)):
             i0 = basei + dx
-            w = (1.0 - frac) * (j == i0) + frac * (j == i0 + 1)
-            out_ref[:, :, i * taps + t] = jnp.sum(level * w, axis=-1)
-        if i + 1 < num_levels:
-            level = level.reshape(TH, W1, W2i // 2, 2).mean(axis=-1)
+            w = (1.0 - frac) * (jdiv == i0) + frac * (jdiv == i0 + 1)
+            out_ref[:, :, i * taps + t] = jnp.sum(corr * w, axis=-1) / scale
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "num_levels",

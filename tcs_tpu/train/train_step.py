@@ -154,12 +154,16 @@ def optax_global_norm(tree) -> jax.Array:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(model: TCStereo, iters: int = 5) -> Callable:
+def make_eval_step(model: TCStereo, iters: int = 5,
+                   donate_state: bool = False) -> Callable:
     """Jitted single-frame test-mode forward: returns (flow_fullres ≤ 0,
     new TemporalState). One compiled function serves first and subsequent
-    frames via the state validity flag."""
+    frames via the state validity flag. ``donate_state`` donates the incoming
+    state buffers (the caller always replaces them with the returned state);
+    measured slightly SLOWER on v5e via the axon runtime (57.9 vs 44.6
+    ms/frame at 384×1280), so off by default — re-evaluate on direct PJRT."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(3,) if donate_state else ())
     def eval_step(params, image1, image2, state: TemporalState,
                   cam: CameraParams, T):
         out = model.apply(params, image1, image2, state, cam, T, iters=iters,

@@ -70,6 +70,24 @@ class MetricsLogger:
             with open(self.jsonl_path, "a") as f:
                 f.write(json.dumps({"step": step, **means}) + "\n")
 
+    def log_images(self, tag: str, image, disp_pred, disp_gt=None,
+                   out_dir: Optional[str] = None, vmax: float = 96.0):
+        """Log a qualitative disparity panel (wandb image and/or PNG on disk)."""
+        from tcs_tpu.utils.visualization import disparity_panel
+
+        panel = disparity_panel(image, disp_pred, disp_gt, vmax)
+        if self._wandb is not None:
+            self._wandb.log({tag: self._wandb.Image(panel)})
+        if out_dir:
+            import os
+
+            from PIL import Image as PILImage
+
+            os.makedirs(out_dir, exist_ok=True)
+            PILImage.fromarray(panel).save(
+                os.path.join(out_dir, f"{tag.replace('/', '_')}_{self.total_steps}.png")
+            )
+
     def write_dict(self, results: Dict):
         """Log evaluation results immediately."""
         logger.info("eval: %s", results)

@@ -98,6 +98,28 @@ def export_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None):
             f.write(row + "\n")
 
 
+def disparity_panel(image: np.ndarray, disp_pred: np.ndarray,
+                    disp_gt: np.ndarray | None = None,
+                    vmax: float = 96.0) -> np.ndarray:
+    """Stacked RGB panel (input | predicted colormap | GT | error) for image
+    logging — the reference's ``logFeatureMap``/wandb image role
+    (visualization.py:98-179). Returns uint8 (N*H, W, 3)."""
+    rows = [np.asarray(image, np.uint8)]
+    rows.append(pseudo_color_map(disp_pred, 0, vmax, kitti_style=True))
+    if disp_gt is not None:
+        rows.append(pseudo_color_map(disp_gt, 0, vmax, kitti_style=True))
+        rows.append(error_colormap(disp_pred, disp_gt,
+                                   np.abs(disp_gt) < 192))
+    return np.concatenate(rows, axis=0)
+
+
+def save_disparity_panel(path: str, image, disp_pred, disp_gt=None,
+                         vmax: float = 96.0):
+    from PIL import Image as PILImage
+
+    PILImage.fromarray(disparity_panel(image, disp_pred, disp_gt, vmax)).save(path)
+
+
 def disparity_to_pointcloud(disp: np.ndarray, image: np.ndarray,
                             K: np.ndarray, baseline: float):
     """Back-project a disparity map into a colored point cloud
