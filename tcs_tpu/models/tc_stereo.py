@@ -134,7 +134,13 @@ class RefinementCell(nn.Module):
                                  radius=cfg.corr_radius,
                                  num_levels=cfg.corr_levels)
         else:
-            corr = corr_ops.lookup(pyramid, coords_x, cfg.corr_radius)
+            lookup_fn = {
+                "onehot": corr_ops.lookup_onehot,
+                "roll": corr_ops.lookup_roll,
+                "window": corr_ops.lookup_window,
+                "gather": corr_ops.lookup_gather,
+            }[cfg.lookup_backend]
+            corr = lookup_fn(pyramid, coords_x, cfg.corr_radius)
         flow_x = -disp
 
         update_block = BasicMultiUpdateBlock(

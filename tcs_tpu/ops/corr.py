@@ -117,6 +117,56 @@ def lookup_onehot(pyramid: Sequence[jax.Array], coords_x: jax.Array,
     return jnp.concatenate(outs, axis=-1)
 
 
+def lookup_roll(pyramid: Sequence[jax.Array], coords_x: jax.Array,
+                radius: int) -> jax.Array:
+    """One-hot lookup with the selection mask built ONCE per level.
+
+    ``lookup_onehot`` pays two integer compares + two selects per tap per
+    cost-volume element (~8 VPU ops × 9 taps). Here the one-hot mask
+    ``o = (j == floor(c))`` is built once, and tap k is the masked reduction
+    of the cost row *rolled* by −k: ``Σⱼ roll(corr, −k)[j]·o[j] =
+    corr[floor(c)+k]`` — one lane-rotate + multiply + add per element per
+    tap. Wraparound reads land in an r+1-wide zero pad, so out-of-range taps
+    vanish with no validity mask (grid_sample semantics). The 2r+2 integer
+    taps are shared between adjacent bilinear outputs, halving the lerp work.
+    Numerics identical to :func:`lookup_gather`.
+
+    Measured on TPU v5e at 384×1280: SLOWER than ``lookup_onehot`` end-to-end
+    (49.8 vs 41.5 ms/frame) — the r+1 pad breaks the 128-lane alignment of
+    the W2 axis and XLA materialises the rolled copies instead of folding the
+    rotation into the reduction. Kept as a tested variant, not the default.
+    """
+    r = radius
+    pad = r + 1
+    outs = []
+    for i, corr in enumerate(pyramid):
+        B, H, W1, W2 = corr.shape
+        W2p = W2 + 2 * pad
+        c = coords_x / (2 ** i)  # (B,H,W1)
+        base = jnp.floor(c)
+        basei = base.astype(jnp.int32)
+        frac = (c - base).astype(corr.dtype)
+        # Zero-pad the cost row by r+1 on both sides: every roll by k ∈
+        # [−r, r+1] then wraps *only* into the zero pad, so out-of-range taps
+        # vanish without any validity mask, for arbitrary coordinates.
+        corr_pad = jnp.pad(corr, ((0, 0),) * 3 + ((pad, pad),))
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W2p), 3)
+        o = (j == (basei + pad)[..., None]).astype(corr.dtype)
+        # Integer taps corr[floor(c)+k] for k in [-r, r+1].
+        taps0 = [
+            jnp.sum((jnp.roll(corr_pad, -k, axis=-1) if k else corr_pad) * o,
+                    axis=-1)
+            for k in range(-r, r + 2)
+        ]
+        # Bilinear outputs for dx in [-r, r] share neighbouring integer taps.
+        level = [
+            (1.0 - frac) * taps0[t] + frac * taps0[t + 1]
+            for t in range(2 * r + 1)
+        ]
+        outs.append(jnp.stack(level, axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def lookup_window(pyramid: Sequence[jax.Array], coords_x: jax.Array,
                   radius: int) -> jax.Array:
     """Radius-window bilinear lookup over all pyramid levels (windowed

@@ -170,11 +170,28 @@ def _window_slices(x: jax.Array, window: int, stride: int, padding: int,
 
 
 def avg_pool(x: jax.Array, window: int, stride: int, padding: int) -> jax.Array:
-    """``F.avg_pool2d(count_include_pad=True)`` on NHWC."""
-    out = None
-    for s in _window_slices(x, window, stride, padding, 0.0):
-        out = s if out is None else out + s
-    return out / (window * window)
+    """``F.avg_pool2d(count_include_pad=True)`` on NHWC.
+
+    Implemented as a depthwise convolution with a constant kernel: on TPU,
+    XLA lowers strided window *slices* of a channel-minor tensor to per-pixel
+    index gathers (measured 0.26 ms each for a 3×3/s2 pool of a 96×320×128
+    hidden state — ~2.4 ms/step inside the GRU scan), while the equivalent
+    depthwise conv goes through the native convolution emitter. Zero padding
+    plus a constant 1/w² kernel reproduces ``count_include_pad=True`` exactly,
+    and convolutions differentiate fine inside ``lax.scan``.
+    """
+    B, H, W, C = x.shape
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    xf = x.astype(dtype)
+    kernel = jnp.full((window, window, 1, C), 1.0 / (window * window), dtype)
+    out = lax.conv_general_dilated(
+        xf, kernel,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+    return out.astype(x.dtype)
 
 
 def max_pool(x: jax.Array, window: int, stride: int, padding: int) -> jax.Array:
@@ -193,10 +210,7 @@ def pool2x(x: jax.Array) -> jax.Array:
 
 def pool4x(x: jax.Array) -> jax.Array:
     """``core/update.py:118``: avg_pool2d(x, 5, stride=4, padding=1)."""
-    out = None
-    for s in _window_slices(x, 5, 4, 1, 0.0):
-        out = s if out is None else out + s
-    return out / 25.0
+    return avg_pool(x, 5, 4, 1)
 
 
 def median_pool(x: jax.Array, k: int) -> jax.Array:

@@ -118,13 +118,15 @@ def test_lookup_fast_matches_gather_oracle(rng):
     # coordinates spanning out-of-range, edges and interior
     coords = rng.uniform(-6, W + 6, size=(B, H, W)).astype(np.float32)
     ref = np.asarray(corr.lookup_gather(pyr, jnp.asarray(coords), r))
-    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup):
+    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup_roll,
+                 corr.lookup):
         fast = np.asarray(impl(pyr, jnp.asarray(coords), r))
         np.testing.assert_allclose(fast, ref, atol=1e-5)
 
     # exactly-integer coordinates (alpha == 0 boundary cases)
     coords_i = np.round(coords).astype(np.float32)
     ref = np.asarray(corr.lookup_gather(pyr, jnp.asarray(coords_i), r))
-    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup):
+    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup_roll,
+                 corr.lookup):
         fast = np.asarray(impl(pyr, jnp.asarray(coords_i), r))
         np.testing.assert_allclose(fast, ref, atol=1e-5)
