@@ -39,6 +39,11 @@ class ModelConfig:
     # lax.scan unroll factor for the GRU iteration loop (1 = no unroll;
     # larger values let XLA fuse across iterations at higher compile cost).
     scan_unroll: int = 1
+    # Shared-backbone trunk with the two images packed along channels instead
+    # of stacked on batch: exact numerics (block-diagonal kernels), full
+    # 128-lane utilisation for the 64-channel full-res stages (~1.6× faster
+    # measured on v5e). Requires per-channel norms ('none'/'instance').
+    packed_dual_encoder: bool = True
     # Correlation lookup backend: 'onehot' (XLA dense one-hot reductions,
     # fastest measured — 41.5 ms/frame at 384×1280 v5e), 'roll' (one mask +
     # static lane-rolls, measured 49.8 ms), 'window' / 'gather' (gather-based

@@ -32,13 +32,14 @@ class _Stage(nn.Module):
     norm_fn: str
     stride: int
     dtype: Any = jnp.float32
+    dual: int = 1
 
     @nn.compact
     def __call__(self, x):
         x = ResidualBlock(self.dim, self.norm_fn, self.stride,
-                          dtype=self.dtype, name="res1")(x)
+                          dtype=self.dtype, dual=self.dual, name="res1")(x)
         x = ResidualBlock(self.dim, self.norm_fn, 1, dtype=self.dtype,
-                          name="res2")(x)
+                          dual=self.dual, name="res2")(x)
         return x
 
 
@@ -72,22 +73,41 @@ class MultiBasicEncoder(nn.Module):
     output_dims: Sequence[Sequence[int]] = ((128, 128, 128), (128, 128, 128))
     norm_fn: str = "none"
     dtype: Any = jnp.float32
+    # Run the dual-image trunk with the two images packed along channels
+    # (exact numerics, measured ~1.6× faster on TPU for the 64-channel
+    # full-resolution stages — see layers.Conv ``dual``). Only valid with
+    # per-channel norms ('none'/'instance').
+    packed_dual: bool = False
 
     @nn.compact
     def __call__(self, x, dual_inp: bool = False, num_layers: int = 3):
+        packed = self.packed_dual and dual_inp
+        dual = 2 if packed else 1
+        if packed:
+            B2 = x.shape[0]
+            # (2B, H, W, 3) → (B, H, W, 6): image1 in channels [:3].
+            x = jnp.concatenate([x[: B2 // 2], x[B2 // 2:]], axis=-1)
         x = Conv(64, 7, 1, 3, kernel_init=kaiming_normal_fan_out,
-                 dtype=self.dtype, name="conv1")(x)
+                 dtype=self.dtype, dual=dual, name="conv1")(x)
         x = Norm(self.norm_fn, 64, dtype=self.dtype, name="norm1")(x)
         x = nn.relu(x)
 
-        x = _Stage(64, self.norm_fn, 1, dtype=self.dtype, name="layer1")(x)
-        x = _Stage(96, self.norm_fn, 2, dtype=self.dtype, name="layer2")(x)
-        x = _Stage(128, self.norm_fn, 2, dtype=self.dtype, name="layer3")(x)
+        x = _Stage(64, self.norm_fn, 1, dtype=self.dtype, dual=dual,
+                   name="layer1")(x)
+        x = _Stage(96, self.norm_fn, 2, dtype=self.dtype, dual=dual,
+                   name="layer2")(x)
+        x = _Stage(128, self.norm_fn, 2, dtype=self.dtype, dual=dual,
+                   name="layer3")(x)
 
         trunk = None
         if dual_inp:
-            trunk = x
-            x = x[: x.shape[0] // 2]
+            if packed:
+                # (B, h, w, 256) → (2B, h, w, 128); heads see image1 only.
+                trunk = jnp.concatenate([x[..., :128], x[..., 128:]], axis=0)
+                x = x[..., :128]
+            else:
+                trunk = x
+                x = x[: x.shape[0] // 2]
 
         outs = []
         scale04 = tuple(

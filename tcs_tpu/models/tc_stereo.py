@@ -220,7 +220,8 @@ class TCStereo(nn.Module):
         if cfg.shared_backbone:
             cnet_list, trunk = MultiBasicEncoder(
                 output_dims=(cfg.hidden_dims, cfg.context_dims),
-                norm_fn=cfg.context_norm, dtype=dt, name="cnet",
+                norm_fn=cfg.context_norm, dtype=dt,
+                packed_dual=cfg.packed_dual_encoder, name="cnet",
             )(jnp.concatenate([img1, img2], axis=0), dual_inp=True,
               num_layers=cfg.n_gru_layers)
             fmap = SharedBackboneHead(dtype=dt, name="conv2")(trunk)

@@ -71,3 +71,61 @@ def test_residual_block_downsample_params(rng):
     m2 = layers.ResidualBlock(planes=4, norm_fn="instance", stride=1)
     p2 = m2.init(jax.random.PRNGKey(0), jnp.asarray(x))
     assert "downsample" not in p2["params"]
+
+
+def test_packed_dual_conv_exact():
+    """Channel-packed Conv ≡ per-image Conv, bit-for-bit (same params)."""
+    import numpy as np
+    from tcs_tpu.models.layers import Conv, ResidualBlock
+
+    rng = np.random.default_rng(0)
+    x2 = jnp.asarray(rng.normal(size=(2, 16, 24, 8)).astype(np.float32))
+    xp = jnp.concatenate([x2[:1], x2[1:]], axis=-1)
+
+    c = Conv(12, 3, 1, 1)
+    params = c.init(jax.random.PRNGKey(1), x2)
+    ref = c.apply(params, x2)
+    out = Conv(12, 3, 1, 1, dual=2).apply(params, xp)
+    out2 = jnp.concatenate([out[..., :12], out[..., 12:]], axis=0)
+    assert float(jnp.max(jnp.abs(out2 - ref))) == 0.0
+
+    rb = ResidualBlock(12, "none", 1)
+    prb = rb.init(jax.random.PRNGKey(2), x2)
+    refb = rb.apply(prb, x2)
+    outb = ResidualBlock(12, "none", 1, dual=2).apply(prb, xp)
+    outb2 = jnp.concatenate([outb[..., :12], outb[..., 12:]], axis=0)
+    np.testing.assert_allclose(np.asarray(outb2), np.asarray(refb), atol=1e-5)
+
+
+def test_packed_dual_encoder_equivalent():
+    """Packed dual-image trunk ≡ batch-stacked trunk with the same params.
+
+    Layer-level packing is exact (see test above); through the whole
+    unnormalised encoder at random init, fp32 reassociation noise is
+    amplified by activation growth, so the end-to-end comparison uses a
+    proportional tolerance.
+    """
+    import numpy as np
+    from tcs_tpu.models.extractor import MultiBasicEncoder
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)).astype(np.float32))
+    for norm in ("none", "instance"):
+        enc = MultiBasicEncoder(norm_fn=norm, packed_dual=False)
+        params = enc.init(jax.random.PRNGKey(0), x, dual_inp=True)
+        ref_outs, ref_trunk = enc.apply(params, x, dual_inp=True)
+        enc_p = MultiBasicEncoder(norm_fn=norm, packed_dual=True)
+        # identical param tree (the packed path reads the same params)
+        params_p = enc_p.init(jax.random.PRNGKey(0), x, dual_inp=True)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(params_p)
+        outs, trunk = enc_p.apply(params, x, dual_inp=True)
+
+        def close(a, b):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-6
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
+
+        close(trunk, ref_trunk)
+        for (a1, a2), (b1, b2) in zip(outs, ref_outs):
+            close(a1, b1)
+            close(a2, b2)
