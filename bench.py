@@ -42,7 +42,12 @@ def main():
 
     B, H, W = 1, 384, 1280
     iters = 5
-    cfg = ModelConfig()  # mixed_precision=True → bf16 conv stacks
+    # Optional overrides for perf experiments:
+    #   python bench.py lookup_backend=pallas corr_dtype=float32
+    overrides = dict(kv.split("=", 1) for kv in sys.argv[1:] if "=" in kv)
+    cfg = ModelConfig(**overrides)  # mixed_precision=True → bf16 conv stacks
+    if overrides:
+        log(f"config overrides: {overrides}")
     model = TCStereo(cfg=cfg)
 
     rng = np.random.default_rng(0)

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Single-chip training-step throughput at recipe shapes.
+
+Measures steady-state optimizer steps/s (and training frames/s =
+steps/s × batch × frame_length) of the jitted BPTT train step on synthetic
+data — the training-side counterpart of bench.py. The reference trains
+SceneFlow at b4·320×720·fl2 and TartanAir at b4·480×640·fl4 per GPU
+(sceneflow_ddp_train.sh / tartanair_ddp_train.sh); pass --recipe to pick the
+shape set.
+
+  python scripts/bench_train.py --recipe tartanair [--batch 4] [--steps 10]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+SHAPES = {
+    "sceneflow": dict(H=320, W=704, T=2),   # 720 rounded to /64 for the model
+    "tartanair": dict(H=448, W=640, T=4),   # 480 rounded to /64
+    "kitti": dict(H=320, W=1024, T=4),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--recipe", default="tartanair", choices=sorted(SHAPES))
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="validate wall-clock against a jax.profiler trace")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.train import make_optimizer, make_train_step
+    from tcs_tpu.train.train_step import SequenceBatch, TrainState
+
+    sh = SHAPES[args.recipe]
+    B, H, W, T_len = args.batch, sh["H"], sh["W"], sh["T"]
+    dev = jax.devices()[0]
+    print(f"train bench on {dev}: B={B} {H}x{W} frames={T_len} "
+          f"iters={args.iters}", file=sys.stderr)
+
+    cfg = TrainConfig(train_iters=args.iters, batch_size=B,
+                      image_size=(H, W), frame_length=T_len,
+                      remat_frames=not args.no_remat)
+    model = TCStereo(cfg=cfg.model)
+
+    rng = np.random.default_rng(0)
+    K = np.broadcast_to(
+        np.array([[320.0, 0, W / 2], [0, 320.0, H / 2], [0, 0, 1]],
+                 np.float32), (B, 3, 3)).copy()
+
+    # Host-filled params (see bench.py: avoids compiling the init graph).
+    state0 = TemporalState.zeros(B, H, W, cfg.model)
+    cam = CameraParams(K=jnp.asarray(K), baseline=jnp.full((B,), 0.25))
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((B, H, W, 3)), jnp.zeros((B, H, W, 3)), state0, cam,
+            jnp.broadcast_to(jnp.eye(4), (B, 4, 4)), iters=1, test_mode=False),
+        jax.random.PRNGKey(0))
+    host = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray((host.standard_normal(s.shape) * 0.02
+                               ).astype(s.dtype)), shapes)
+
+    tx = make_optimizer(cfg)
+    ts = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    train_step = make_train_step(model, cfg)
+
+    def batch_at(seed):
+        r = np.random.default_rng(seed)
+        eye = np.broadcast_to(np.eye(4, dtype=np.float32), (B, T_len, 4, 4))
+        return SequenceBatch(
+            image1=jnp.asarray(r.uniform(0, 255, (B, T_len, H, W, 3)).astype(np.float32)),
+            image2=jnp.asarray(r.uniform(0, 255, (B, T_len, H, W, 3)).astype(np.float32)),
+            flow=jnp.asarray(-np.abs(r.uniform(0, 40, (B, T_len, H, W, 1))).astype(np.float32)),
+            valid=jnp.asarray(np.ones((B, T_len, H, W, 1), np.float32)),
+            T=jnp.asarray(eye.copy()),
+            K=jnp.asarray(K),
+            baseline=jnp.full((B,), 0.25),
+        )
+
+    # One DISTINCT batch per measured step: the axon runtime returns
+    # cached-looking times for repeated calls on previously-seen input
+    # buffers (see .claude/skills/verify — only steady-state loops with
+    # varying inputs are trustworthy).
+    batches = [batch_at(s) for s in range(args.steps + 3)]
+    t0 = time.time()
+    ts, metrics = train_step(ts, batches[0])
+    jax.block_until_ready(metrics)
+    print(f"compile + step 0: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for k in range(2):
+        ts, metrics = train_step(ts, batches[1 + k])
+    jax.block_until_ready(metrics)
+
+    if args.profile:
+        import glob, gzip, json as js, collections, os
+        os.makedirs("/tmp/tcs_train_trace", exist_ok=True)
+        jax.profiler.start_trace("/tmp/tcs_train_trace")
+
+    t0 = time.time()
+    for k in range(args.steps):
+        ts, metrics = train_step(ts, batches[3 + k])
+    jax.block_until_ready(metrics)
+    dt = (time.time() - t0) / args.steps
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        paths = sorted(glob.glob("/tmp/tcs_train_trace/**/*.trace.json.gz",
+                                 recursive=True), key=lambda p: p)
+        with gzip.open(paths[-1], "rt") as fh:
+            trace = js.load(fh)
+        dev_ms = sum(
+            e["dur"] / 1000.0 for e in trace.get("traceEvents", [])
+            if e.get("ph") == "X" and e.get("name", "").startswith("jit_train_step")
+        )
+        print(f"profiler: {dev_ms / args.steps:.1f} ms/step device time",
+              file=sys.stderr)
+    fps = B * T_len / dt
+    print(f"{args.steps} steps: {1000 * dt:.1f} ms/step → {1 / dt:.3f} steps/s, "
+          f"{fps:.2f} training frames/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"train_step_ms_{args.recipe}",
+        "value": round(1000 * dt, 2),
+        "unit": "ms/step",
+        "frames_per_second": round(fps, 2),
+        "live_loss": float(np.asarray(metrics["live_loss"])),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,12 +44,22 @@ class ModelConfig:
     # 128-lane utilisation for the 64-channel full-res stages (~1.6× faster
     # measured on v5e). Requires per-channel norms ('none'/'instance').
     packed_dual_encoder: bool = True
-    # Correlation lookup backend: 'onehot' (XLA dense one-hot reductions,
-    # fastest measured — 41.5 ms/frame at 384×1280 v5e), 'roll' (one mask +
-    # static lane-rolls, measured 49.8 ms), 'window' / 'gather' (gather-based
-    # oracles), or 'pallas' (fused VMEM kernel, forward-only).
-    # All variants are numerically identical (tests/test_corr.py).
-    lookup_backend: str = "onehot"
+    # Correlation lookup backend. Measured ms/frame at 384×1280 on v5e:
+    # 'onehot_w2major' (dense one-hot with the cost volume in (B,H,W2,W1)
+    # layout so per-tap reductions run down the cheap sublane axis) 36.4 —
+    # the default; 'onehot' (lane-axis reductions) 38.3; 'pallas' (fused
+    # VMEM integer-tap kernel) 48.3; 'roll' 49.8; 'window' / 'gather'
+    # (gather-based oracles) slower still. All variants are numerically
+    # identical (tests/test_corr.py, tests/test_pallas.py).
+    lookup_backend: str = "onehot_w2major"
+    # Storage dtype of the lookup pyramid ONLY (the masked cost volume used by
+    # the argmax bootstrap and the init loss stays fp32). The XLA one-hot
+    # lookup is HBM-bound on re-reading the pyramid once per tap (~635 MB per
+    # GRU iteration at 384×1280 fp32), so bf16 halves its cost. Numerically
+    # benign: every one-hot reduction has exactly two nonzero terms (no
+    # accumulation error) and the lookup output feeds straight into bf16
+    # convs. Set 'float32' for bit-exact parity with the reference.
+    corr_dtype: str = "bfloat16"
 
     @property
     def scale_rate(self) -> float:

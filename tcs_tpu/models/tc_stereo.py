@@ -130,12 +130,11 @@ class RefinementCell(nn.Module):
         if cfg.lookup_backend == "pallas":
             from tcs_tpu.ops.pallas.corr_kernel import lookup_pallas
 
-            corr = lookup_pallas(pyramid[0], coords_x,
-                                 radius=cfg.corr_radius,
-                                 num_levels=cfg.corr_levels)
+            corr = lookup_pallas(pyramid, coords_x, radius=cfg.corr_radius)
         else:
             lookup_fn = {
                 "onehot": corr_ops.lookup_onehot,
+                "onehot_w2major": corr_ops.lookup_onehot_w2major,
                 "roll": corr_ops.lookup_roll,
                 "window": corr_ops.lookup_window,
                 "gather": corr_ops.lookup_gather,
@@ -241,11 +240,20 @@ class TCStereo(nn.Module):
 
         # --- cost volume (fp32, MXU einsum) ---
         raw_cv = corr_ops.build_cost_volume(fmap1, fmap2)
-        if cfg.lookup_backend == "pallas":
-            # The fused kernel pools levels in-register; no pyramid needed.
-            pyramid = (raw_cv,)
+        corr_dt = jnp.dtype(cfg.corr_dtype)
+        if cfg.lookup_backend == "onehot_w2major":
+            # Second MXU einsum producing the (B,H,W2,W1) layout directly —
+            # per-tap reductions then run down the cheap sublane axis.
+            raw_T = corr_ops.build_cost_volume_w2major(fmap1, fmap2)
+            pyramid = tuple(
+                lvl.astype(corr_dt)
+                for lvl in corr_ops.corr_pyramid_w2major(raw_T, cfg.corr_levels)
+            )
         else:
-            pyramid = corr_ops.corr_pyramid(raw_cv, cfg.corr_levels)
+            pyramid = tuple(
+                lvl.astype(corr_dt)
+                for lvl in corr_ops.corr_pyramid(raw_cv, cfg.corr_levels)
+            )
         cost_volume = corr_ops.masked_cost_volume(raw_cv)
 
         # --- temporal initialisation ---

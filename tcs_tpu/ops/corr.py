@@ -246,6 +246,57 @@ def lookup_window(pyramid: Sequence[jax.Array], coords_x: jax.Array,
     return jnp.concatenate(outs, axis=-1)
 
 
+def build_cost_volume_w2major(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
+    """Cosine cost volume in (B, H, W2, W1) layout — W2 on the sublane axis.
+
+    Same numerics as :func:`build_cost_volume` (a second MXU einsum, NOT a
+    transpose of it — cheaper than moving 38 MB through HBM twice). Used by
+    the W2-major lookup, where the per-tap reduction runs down the sublane
+    axis instead of the lane axis: lane reductions are log-shuffle chains on
+    the VPU while sublane reductions are straight vector adds, which makes
+    the lookup compute-bound cost ~3× lower (measured on v5e).
+    """
+    f1 = l2_normalize(fmap1.astype(jnp.float32))
+    f2 = l2_normalize(fmap2.astype(jnp.float32))
+    return jnp.einsum("bhvc,bhwc->bhvw", f2, f1,
+                      preferred_element_type=jnp.float32)
+
+
+def corr_pyramid_w2major(cost_T: jax.Array, num_levels: int) -> Tuple[jax.Array, ...]:
+    """Average-pool pyramid along W2 (axis -2) of a (B,H,W2,W1) volume."""
+    levels = [cost_T]
+    cur = cost_T
+    for _ in range(num_levels - 1):
+        B, H, W2, W1 = cur.shape
+        cur = cur.reshape(B, H, W2 // 2, 2, W1).mean(axis=-2)
+        levels.append(cur)
+    return tuple(levels)
+
+
+def lookup_onehot_w2major(pyramid_T: Sequence[jax.Array], coords_x: jax.Array,
+                          radius: int) -> jax.Array:
+    """One-hot lookup over a W2-major pyramid ((B,H,W2i,W1) levels).
+
+    Identical numerics to :func:`lookup_onehot`; the reduction axis is the
+    sublane axis (axis 2), which the VPU sums with plain vector adds.
+    """
+    r = radius
+    outs = []
+    for i, corr in enumerate(pyramid_T):
+        B, H, W2, W1 = corr.shape
+        c = coords_x / (2 ** i)  # (B,H,W1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W2, 1), 2)
+        base = jnp.floor(c).astype(jnp.int32)[:, :, None, :]  # (B,H,1,W1)
+        frac = (c[:, :, None, :] - base.astype(jnp.float32)).astype(corr.dtype)
+        taps = []
+        for dx in range(-r, r + 1):
+            i0 = base + dx
+            w = (1.0 - frac) * (j == i0) + frac * (j == i0 + 1)
+            taps.append(jnp.sum(corr * w, axis=2))  # (B,H,W1)
+        outs.append(jnp.stack(taps, axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
 # Default lookup used by the model. Benchmarks on TPU v5e at KITTI shapes:
 # per-element gathers (lookup_gather) ≈ 3.5 ms × 8 fusions per iteration;
 # windowed row-gather (lookup_window) was worse; the dense one-hot reduction

@@ -130,3 +130,30 @@ def test_lookup_fast_matches_gather_oracle(rng):
                  corr.lookup):
         fast = np.asarray(impl(pyr, jnp.asarray(coords_i), r))
         np.testing.assert_allclose(fast, ref, atol=1e-5)
+
+
+def test_lookup_w2major_matches_gather_oracle(rng):
+    """W2-major (sublane-reduction) lookup ≡ gather oracle, incl. edges."""
+    B, H, W, C, levels, r = 2, 3, 32, 8, 4, 4
+    f1 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    f2 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    cv = corr.build_cost_volume(jnp.asarray(f1), jnp.asarray(f2))
+    cv_T = corr.build_cost_volume_w2major(jnp.asarray(f1), jnp.asarray(f2))
+    np.testing.assert_allclose(np.asarray(cv_T),
+                               np.asarray(cv).transpose(0, 1, 3, 2),
+                               atol=1e-6)
+    pyr = corr.corr_pyramid(cv, levels)
+    pyr_T = corr.corr_pyramid_w2major(cv_T, levels)
+    for a, b in zip(pyr, pyr_T):
+        np.testing.assert_allclose(np.asarray(b),
+                                   np.asarray(a).transpose(0, 1, 3, 2),
+                                   atol=1e-6)
+    for coords in (
+        rng.uniform(-6, W + 6, size=(B, H, W)).astype(np.float32),
+        np.round(rng.uniform(-2, W + 2, size=(B, H, W))).astype(np.float32),
+    ):
+        ref = np.asarray(corr.lookup_gather(pyr, jnp.asarray(coords), r))
+        out = np.asarray(
+            corr.lookup_onehot_w2major(pyr_T, jnp.asarray(coords), r)
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -29,7 +29,7 @@ def make_inputs(rng, batch=B):
 
 @pytest.fixture(scope="module")
 def model_and_params():
-    cfg = ModelConfig(mixed_precision=False)  # fp32 on CPU for test precision
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32")  # fp32 on CPU for test precision
     model = TCStereo(cfg=cfg)
     rng = np.random.default_rng(0)
     img1, img2, cam, T = make_inputs(rng)

@@ -82,7 +82,7 @@ def test_forward_parity_first_frame(torch_reference):
     params = convert_state_dict(sd)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    cfg = ModelConfig(mixed_precision=False,
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32",
                       argmax_margin=0.3)  # inference threshold (corr.py:73)
     model = TCStereo(cfg=cfg)
     state = TemporalState.zeros(B, H, W, cfg)

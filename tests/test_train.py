@@ -25,7 +25,7 @@ H, W = 64, 64
 
 def small_cfg(**kw):
     return TrainConfig(
-        model=ModelConfig(mixed_precision=False),
+        model=ModelConfig(mixed_precision=False, corr_dtype="float32"),
         train_iters=1, batch_size=1, image_size=(H, W), frame_length=2,
         num_steps=100, remat_frames=False, **kw,
     )
