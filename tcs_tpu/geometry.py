@@ -143,7 +143,8 @@ def disp2disp_grad_candidates(disp: jax.Array, level: int = 2) -> jax.Array:
 
 
 def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
-         K: jax.Array, K_inv: jax.Array, baseline: jax.Array):
+         K: jax.Array, K_inv: jax.Array, baseline: jax.Array,
+         feature_dtype=jnp.float32):
     """Forward-warp previous-frame disparity + features to the current frame.
 
     disp→depth→3D point→rigid transform→reproject; softmax-splat (disp, fmap)
@@ -151,6 +152,12 @@ def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
 
     Reference geo_utils.py:158. All outputs are gradient-stopped, matching the
     ``.detach()`` in the reference.
+
+    ``feature_dtype=bfloat16`` splats the C-channel feature block in bf16
+    (halving the dominant scatter traffic) while keeping the disparity /
+    validity scatter fp32 — the warped features only feed an L2-normalised
+    cosine cost, where bf16 rounding is negligible; exp(±50) metrics stay in
+    bf16 range. Disparity keeps full precision either way.
 
     Returns (current_disp (B,H,W,1), current_fmap (B,H,W,C), mask (B,H,W,1)).
     """
@@ -168,10 +175,20 @@ def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
     forward_flow = cur_coords - coords0
 
     metric = jnp.clip(cur_disp - jnp.mean(cur_disp, axis=(1, 2, 3), keepdims=True), -50.0, 50.0)
-    feats = jnp.concatenate([cur_disp, fmap], axis=-1)
-    splatted, mask = softsplat(feats, forward_flow, metric, mode="soft-clipeps", valid_mask=valid)
-    out_disp = splatted[..., :1]
-    out_fmap = splatted[..., 1:]
+    if jnp.dtype(feature_dtype) == jnp.float32:
+        feats = jnp.concatenate([cur_disp, fmap], axis=-1)
+        splatted, mask = softsplat(feats, forward_flow, metric,
+                                   mode="soft-clipeps", valid_mask=valid)
+        out_disp = splatted[..., :1]
+        out_fmap = splatted[..., 1:]
+    else:
+        dt = jnp.dtype(feature_dtype)
+        out_disp, mask = softsplat(cur_disp, forward_flow, metric,
+                                   mode="soft-clipeps", valid_mask=valid)
+        out_fmap, _ = softsplat(fmap.astype(dt), forward_flow.astype(dt),
+                                metric.astype(dt), mode="soft-clipeps",
+                                valid_mask=valid.astype(dt))
+        out_fmap = out_fmap.astype(jnp.float32)
     return (
         jax.lax.stop_gradient(out_disp),
         jax.lax.stop_gradient(out_fmap),

@@ -262,6 +262,11 @@ class TCStereo(nn.Module):
 
         def warp_path(_):
             relative_T = geometry.cal_relative_transformation(state.T_prev, T)
+            # Single fused fp32 splat: a bf16 feature-splat variant
+            # (geometry.warp(feature_dtype=bf16), which splits disparity and
+            # features into two scatters) measured SLOWER on v5e — 37.0 vs
+            # 36.4 ms/frame — the scatter is not bandwidth-bound and the
+            # duplicated weight-channel scatter costs more than bf16 saves.
             warped_disp, warped_fmap1, sparse_mask = geometry.warp(
                 state.disp_q, state.fmap1, relative_T, K_scale, K_scale_inv,
                 cam.baseline,

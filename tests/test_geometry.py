@@ -178,3 +178,29 @@ def test_backward_grid_pure_x_translation():
     base = np.asarray(coords_grid(B, H, W))
     np.testing.assert_allclose(grid[..., 0] - base[..., 0], expected_shift, atol=1e-4)
     np.testing.assert_allclose(grid[..., 1], base[..., 1], atol=1e-4)
+
+
+def test_warp_bf16_features_close_to_fp32(rng):
+    """bf16 feature-splat path: disparity/mask bit-identical to fp32 (they
+    stay fp32), warped features within bf16 rounding of the fp32 splat."""
+    B, H, W = 1, 8, 10
+    disp = rng.uniform(2.0, 8.0, size=(B, H, W, 1)).astype(np.float32)
+    fmap = rng.normal(size=(B, H, W, 16)).astype(np.float32)
+    K = make_K(B, fx=50.0, fy=50.0, cx=W / 2, cy=H / 2)
+    K_inv = np.linalg.inv(K)
+    T = np.eye(4, dtype=np.float32)[None].copy()
+    T[0, 0, 3] = 0.03  # small translation → non-trivial flow
+    baseline = np.array([0.5], np.float32)
+    args = (jnp.asarray(disp), jnp.asarray(fmap), jnp.asarray(T),
+            jnp.asarray(K), jnp.asarray(K_inv), jnp.asarray(baseline))
+    d32, f32_, m32 = geometry.warp(*args, feature_dtype=jnp.float32)
+    d16, f16, m16 = geometry.warp(*args, feature_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(d32), np.asarray(d16))
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m16))
+    assert f16.dtype == jnp.float32
+    scale = np.maximum(np.abs(np.asarray(f32_)), 1.0)
+    close = np.isclose(np.asarray(f16) / scale, np.asarray(f32_) / scale,
+                       atol=0.05)
+    # Cells whose splat-weight sum is ~eps normalise to garbage in both
+    # precisions (and differ); everywhere else bf16 tracks fp32.
+    assert close.mean() > 0.99, f"only {close.mean():.4f} close"
