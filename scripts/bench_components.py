@@ -95,6 +95,9 @@ def main():
     feats = jnp.concatenate([disp, fmap1], axis=-1)
     sp = jax.jit(lambda v, fl, m: softsplat(v, fl, m, "soft-clipeps"))
     print(f"softsplat (257ch):    {timeit(sp, feats, flow2d, metric):8.2f} ms")
+    spf = jax.jit(lambda v, fl, m: softsplat(v, fl, m, "soft-clipeps",
+                                             backend="xla_fused"))
+    print(f"softsplat fused:      {timeit(spf, feats, flow2d, metric):8.2f} ms")
 
     # --- full temporal warp (geometry + splat) ---
     K = jnp.asarray(np.broadcast_to(

@@ -9,6 +9,18 @@ SceneFlow at b4·320×720·fl2 and TartanAir at b4·480×640·fl4 per GPU
 shape set.
 
   python scripts/bench_train.py --recipe tartanair [--batch 4] [--steps 10]
+
+Measured history on TPU v5e (tartanair recipe, device-timeline ms/step):
+  2605.8 — first measurement (full-frame remat, jnp.sort medians)
+  2195.0 — median_pool/median_filter as min/max selection networks
+  2188.5 — init_loss top-k as iterative argmax (no XLA sort HLO)
+Rejected variants (kept selectable, all OOM or slower):
+  --no-remat            OOM: 68.3G of 15.75G HBM (frame activations)
+  --frame-unroll 4      OOM: 60.5G (unrolling defeats per-frame remat)
+  --frame-unroll 2      OOM: 25.4G
+The backward is ~75% of the step: full-frame remat recompute (the encoder's
+half-res stages reformat poorly inside the backward scan body) + conv
+backward. Forward leaf ops are ~435 ms/step.
 """
 
 import argparse
@@ -34,6 +46,7 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--frame-unroll", type=int, default=1)
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
     args = p.parse_args()
@@ -54,7 +67,8 @@ def main():
 
     cfg = TrainConfig(train_iters=args.iters, batch_size=B,
                       image_size=(H, W), frame_length=T_len,
-                      remat_frames=not args.no_remat)
+                      remat_frames=not args.no_remat,
+                      frame_unroll=args.frame_unroll)
     model = TCStereo(cfg=cfg.model)
 
     rng = np.random.default_rng(0)
@@ -114,7 +128,7 @@ def main():
     jax.block_until_ready(metrics)
 
     if args.profile:
-        import glob, gzip, json as js, collections, os
+        import os
         os.makedirs("/tmp/tcs_train_trace", exist_ok=True)
         jax.profiler.start_trace("/tmp/tcs_train_trace")
 
@@ -125,17 +139,12 @@ def main():
     jax.block_until_ready(metrics)
     dt = (time.time() - t0) / args.steps
 
-    dev_ms = None
     if args.profile:
         jax.profiler.stop_trace()
-        paths = sorted(glob.glob("/tmp/tcs_train_trace/**/*.trace.json.gz",
-                                 recursive=True), key=lambda p: p)
-        with gzip.open(paths[-1], "rt") as fh:
-            trace = js.load(fh)
-        dev_ms = sum(
-            e["dur"] / 1000.0 for e in trace.get("traceEvents", [])
-            if e.get("ph") == "X" and e.get("name", "").startswith("jit_train_step")
-        ) / args.steps
+        from tcs_tpu.utils.trace_summary import summarize_trace
+        summ = summarize_trace("/tmp/tcs_train_trace")
+        dev_ms = sum(ms for name, ms in summ.jit_ms.items()
+                     if name.startswith("jit_train_step")) / args.steps
         print(f"profiler: {dev_ms:.1f} ms/step device time", file=sys.stderr)
         # The axon runtime's wall-clock is NOT trustworthy for long steps
         # (returns before device completion); the device timeline is.

@@ -9,10 +9,6 @@ pass knows where the 44 ms/frame actually goes.
 """
 
 import argparse
-import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -91,61 +87,15 @@ def main():
     flow.block_until_ready()
     jax.profiler.stop_trace()
 
-    # --- parse trace ---
-    paths = sorted(glob.glob(os.path.join(
-        args.logdir, "**", "*.trace.json.gz"), recursive=True),
-        key=os.path.getmtime)
-    if not paths:
+    # --- parse trace (shared leaf-op aggregation) ---
+    from tcs_tpu.utils.trace_summary import print_summary, summarize_trace
+
+    summ = summarize_trace(args.logdir,
+                           strip_prefixes=("jit(step)/TCStereo/",))
+    if summ.total_ms == 0:
         print("no trace file found", file=sys.stderr)
         return
-    with gzip.open(paths[-1], "rt") as fh:
-        trace = json.load(fh)
-    events = trace.get("traceEvents", [])
-    # Device-side complete events: pick pids whose process name mentions TPU.
-    pid_name = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_name[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_name.items()
-                if "TPU" in n or "tpu" in n or "/device" in n.lower()}
-    # Leaf HLO ops only (events with an hlo_category); the jit_step umbrella
-    # and while/conditional wrappers double-count their children.
-    agg = collections.Counter()       # by HLO name
-    by_mod = collections.Counter()    # by flax module path (tf_op)
-    by_cat = collections.Counter()    # by hlo_category
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        a = e.get("args") or {}
-        cat = a.get("hlo_category")
-        if not cat:
-            continue
-        if cat in ("while", "conditional"):
-            continue  # umbrella events — children are counted individually
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1000.0  # us → ms
-        tf = a.get("tf_op", "?")
-        # strip the scan-body boilerplate for readability
-        tf = tf.replace("jit(step)/TCStereo/", "").replace(
-            "while/body/closed_call/", "scan/")
-        parts = tf.split("/")
-        by_mod["/".join(parts[:3])] += dur
-        by_cat[cat] += dur
-        agg[name] += dur
-        total += dur
-    per_step = total / args.steps
-    print(f"device total {total:.2f} ms over {args.steps} steps "
-          f"→ {per_step:.2f} ms/step (leaf ops)")
-    print(f"\n{'ms/step':>9}  {'%':>5}  module (tf_op prefix)")
-    for name, ms in by_mod.most_common(args.top):
-        print(f"{ms/args.steps:9.3f}  {100*ms/total:5.1f}  {name[:110]}")
-    print(f"\n{'ms/step':>9}  {'%':>5}  hlo_category")
-    for name, ms in by_cat.most_common(15):
-        print(f"{ms/args.steps:9.3f}  {100*ms/total:5.1f}  {name}")
-    print(f"\n{'ms/step':>9}  {'%':>5}  hlo op")
-    for name, ms in agg.most_common(args.top):
-        print(f"{ms/args.steps:9.3f}  {100*ms/total:5.1f}  {name[:110]}")
+    print_summary(summ, steps=args.steps, top=args.top)
 
 
 if __name__ == "__main__":

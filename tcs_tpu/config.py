@@ -104,6 +104,10 @@ class TrainConfig:
     # Rematerialize each frame's forward in the BPTT backward pass
     # (jax.checkpoint): trades FLOPs for activation memory on long windows.
     remat_frames: bool = True
+    # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
+    # XLA lay out each frame's remat recompute independently of the backward
+    # scan body — measured effect documented in scripts/bench_train.py.
+    frame_unroll: int = 1
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"

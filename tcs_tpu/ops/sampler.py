@@ -213,6 +213,45 @@ def pool4x(x: jax.Array) -> jax.Array:
     return avg_pool(x, 5, 4, 1)
 
 
+@functools.cache
+def _batcher_network(n: int):
+    """Comparator list (i, j) of Batcher's odd-even mergesort for n wires
+    (n must be a power of two). Applying min/max along each pair in order
+    sorts n parallel arrays ascending."""
+    assert n & (n - 1) == 0, n
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
+def _select_rank(taps: list, rank: int) -> jax.Array:
+    """rank-th smallest (0-based) across a list of same-shaped arrays, via a
+    min/max sorting network — a chain of elementwise ops XLA fuses into one
+    loop fusion, instead of ``jnp.sort`` over a size-n minor axis (an XLA
+    ``sort`` HLO: measured 86 ms per call at train shapes vs ~0 fused).
+    Wires are padded to a power of two with +inf, which preserves all
+    ascending ranks below the original n."""
+    n = len(taps)
+    m = 1 << (n - 1).bit_length()
+    taps = list(taps) + [
+        jnp.full_like(taps[0], jnp.inf) for _ in range(m - n)
+    ]
+    for a, b in _batcher_network(m):
+        lo = jnp.minimum(taps[a], taps[b])
+        hi = jnp.maximum(taps[a], taps[b])
+        taps[a], taps[b] = lo, hi
+    return taps[rank]
+
+
 def median_pool(x: jax.Array, k: int) -> jax.Array:
     """Non-overlapping k×k *lower*-median pooling (torch ``.median`` picks the
     element at sorted index ``(n-1)//2``).
@@ -224,9 +263,8 @@ def median_pool(x: jax.Array, k: int) -> jax.Array:
     B, H, W, C = x.shape
     assert H % k == 0 and W % k == 0, (H, W, k)
     xw = x.reshape(B, H // k, k, W // k, k, C)
-    xw = xw.transpose(0, 1, 3, 5, 2, 4).reshape(B, H // k, W // k, C, k * k)
-    xw = jnp.sort(xw, axis=-1)
-    return xw[..., (k * k - 1) // 2]
+    taps = [xw[:, :, dv, :, du] for dv in range(k) for du in range(k)]
+    return _select_rank(taps, (k * k - 1) // 2)
 
 
 def median_filter(x: jax.Array, k: int = 3) -> jax.Array:
@@ -242,8 +280,7 @@ def median_filter(x: jax.Array, k: int = 3) -> jax.Array:
         for dv in range(k)
         for du in range(k)
     ]
-    stacked = jnp.stack(taps, axis=-1)
-    return jnp.sort(stacked, axis=-1)[..., (k * k - 1) // 2]
+    return _select_rank(taps, (k * k - 1) // 2)
 
 
 def unfold3x3(x: jax.Array) -> jax.Array:

@@ -13,8 +13,9 @@ Modes mirror the reference wrapper (``softsplat.py:232-274``):
 ``'sum' | 'avg' | 'linear[-addeps|-clipeps]' | 'soft[-addeps|-clipeps]'``.
 Only ``'soft-clipeps'`` is exercised by the model (``geo_utils.py:196``).
 
-A Pallas kernel backend can be selected with ``backend='pallas'`` once
-available; both backends share this API and are cross-checked in tests.
+Backends: ``'xla'`` (four per-tap scatter-adds) and ``'xla_fused'`` (one
+combining scatter over all four taps); cross-checked in tests and
+micro-benchmarked by scripts/bench_components.py.
 """
 
 from __future__ import annotations
@@ -74,6 +75,44 @@ def splat_sum(values: jax.Array, flow: jax.Array) -> jax.Array:
     return out.reshape(B, H, W, C)
 
 
+def splat_sum_fused(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """Same contract as :func:`splat_sum`, but all four bilinear taps are
+    concatenated into ONE combining scatter-add (4·H·W updates, a single
+    pass over the output) instead of four separate scatters. Numerically
+    identical up to fp addition order within a target cell."""
+    B, H, W, C = values.shape
+    dtype = values.dtype
+
+    gx = lax.broadcasted_iota(dtype, (B, H, W), 2)
+    gy = lax.broadcasted_iota(dtype, (B, H, W), 1)
+    tx = gx + flow[..., 0]
+    ty = gy + flow[..., 1]
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    tx = jnp.where(finite, tx, -10.0)
+    ty = jnp.where(finite, ty, -10.0)
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+
+    idxs, contribs = [], []
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi = x0 + dx
+        yi = y0 + dy
+        w = (1.0 - jnp.abs(tx - xi)) * (1.0 - jnp.abs(ty - yi))
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        w = jnp.where(valid, w, 0.0)
+        idxs.append(
+            jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
+            + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        )
+        contribs.append((values * w[..., None]).reshape(B, H * W, C))
+    idx = jnp.concatenate([i.reshape(B, H * W) for i in idxs], axis=1)
+    upd = jnp.concatenate(contribs, axis=1)
+    b_idx = lax.broadcasted_iota(jnp.int32, (B, 4 * H * W), 0)
+    out = jnp.zeros((B, H * W, C), dtype)
+    out = out.at[b_idx, idx].add(upd, mode="drop")
+    return out.reshape(B, H, W, C)
+
+
 def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
               valid_mask=None, backend: str = "xla"):
     """Softmax splatting (reference ``softsplat.py:232``).
@@ -129,8 +168,6 @@ def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
 def _dispatch(values, flow, backend):
     if backend == "xla":
         return splat_sum(values, flow)
-    if backend == "pallas":
-        from tcs_tpu.ops.pallas.splat_kernel import splat_sum_pallas
-
-        return splat_sum_pallas(values, flow)
+    if backend == "xla_fused":
+        return splat_sum_fused(values, flow)
     raise ValueError(f"unknown splat backend: {backend}")

@@ -130,7 +130,9 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             FrameBatch(batch.image1, batch.image2, batch.flow, batch.valid,
                        batch.T),
         )
-        _, (frame_loss, metrics) = jax.lax.scan(frame_step, init_state, frames)
+        _, (frame_loss, metrics) = jax.lax.scan(
+            frame_step, init_state, frames,
+            unroll=min(cfg.frame_unroll, cfg.frame_length))
         loss = jnp.mean(frame_loss)  # Σ/frame_length
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         return loss, metrics

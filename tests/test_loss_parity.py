@@ -160,3 +160,24 @@ def test_grad_and_normal_loss_parity(ref_losses, rng):
         dense_gt=True,
     )
     np.testing.assert_allclose(float(ours_n), float(ref_n), rtol=1e-4)
+
+
+def test_topk_values_matches_lax_topk_with_ties():
+    """_topk_values (fused-reduction top-k) must match lax.top_k exactly —
+    values, tie order, AND gradient routing — on data with exact-zero ties
+    (the suppressed cost-volume entries in init_loss are exact zeros)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tcs_tpu.losses import _topk_values
+
+    r = np.random.default_rng(0)
+    x = r.normal(size=(2, 7, 9, 40)).astype(np.float32)
+    x[x > 0.5] = 0.0
+    ours = _topk_values(jnp.asarray(x), 3)
+    ref, _ = jax.lax.top_k(jnp.asarray(x), 3)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+    w = jnp.arange(1.0, 4.0)
+    g1 = jax.grad(lambda v: jnp.sum(_topk_values(v, 3) * w))(jnp.asarray(x))
+    g2 = jax.grad(lambda v: jnp.sum(jax.lax.top_k(v, 3)[0] * w))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

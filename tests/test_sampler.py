@@ -146,3 +146,16 @@ def test_median_filter_matches_torch_unfold(rng):
     tu = tp.unfold(2, 3, 1).unfold(3, 3, 1)
     ref = tu.contiguous().view(*tu.shape[:4], -1).median(dim=-1)[0]
     np.testing.assert_allclose(np.asarray(ours), from_torch_nchw(ref), atol=1e-6)
+
+
+def test_select_rank_matches_np_sort(rng):
+    """The min/max selection network (used by both medians) returns the exact
+    rank-th smallest for every rank, including non-power-of-two tap counts."""
+    from tcs_tpu.ops.sampler import _select_rank
+
+    for n in (2, 3, 9, 16, 25):
+        taps = [rng.normal(size=(2, 5, 7)).astype(np.float32) for _ in range(n)]
+        stacked = np.sort(np.stack(taps, axis=-1), axis=-1)
+        for rank in {0, (n - 1) // 2, n - 1}:
+            got = np.asarray(_select_rank([jnp.asarray(t) for t in taps], rank))
+            np.testing.assert_array_equal(got, stacked[..., rank])

@@ -132,3 +132,17 @@ def test_linear_and_avg_modes(rng):
     np.testing.assert_allclose(np.asarray(out_avg), v, atol=1e-4)
     out_sum, _ = splat.softsplat(jnp.asarray(v), zero_flow, None, "sum")
     np.testing.assert_allclose(np.asarray(out_sum), v, atol=1e-6)
+
+
+def test_splat_sum_fused_matches_per_tap(rng):
+    """The single-scatter (xla_fused) backend must match the 4-scatter one
+    (same cells, fp addition order within a cell may differ → allclose)."""
+    from tcs_tpu.ops.splat import splat_sum, splat_sum_fused
+
+    B, H, W, C = 2, 9, 11, 5
+    values = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    flow = (3.0 * rng.normal(size=(B, H, W, 2))).astype(np.float32)
+    flow[0, 1, 1] = np.nan  # non-finite targets must be dropped
+    a = np.asarray(splat_sum(jnp.asarray(values), jnp.asarray(flow)))
+    b = np.asarray(splat_sum_fused(jnp.asarray(values), jnp.asarray(flow)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
