@@ -127,7 +127,15 @@ def main():
     grad_list = tuple(
         jnp.zeros((B, h >> i, w >> i, 64), dt) for i in range(3)
     )
-    consts = (pyramid, inp_list, grad_list)
+    # The default lookup backend consumes the W2-major pyramid layout.
+    if cfg.lookup_backend == "onehot_w2major":
+        cell_pyr = jax.jit(
+            lambda a, b: tuple(corr_ops.corr_pyramid_w2major(
+                corr_ops.build_cost_volume_w2major(a, b), cfg.corr_levels))
+        )(fmap1, fmap2)
+    else:
+        cell_pyr = pyramid
+    consts = (cell_pyr, inp_list, grad_list)
     pc = cell.init(jax.random.PRNGKey(0), (net_list, disp), consts)
     it = jax.jit(lambda p, c, x: cell.apply(p, c, x))
     print(f"refinement iteration: {timeit(it, pc, (net_list, disp), consts):8.2f} ms   (x{args.iters} per frame)")

@@ -52,6 +52,10 @@ class ModelConfig:
     # (gather-based oracles) slower still. All variants are numerically
     # identical (tests/test_corr.py, tests/test_pallas.py).
     lookup_backend: str = "onehot_w2major"
+    # Softmax-splat scatter backend: 'xla' (four per-tap scatter-adds) or
+    # 'xla_fused' (one combining scatter over all 4 taps — measured speed in
+    # scripts/bench_train.py docstring / PARITY.md).
+    splat_backend: str = "xla"
     # Storage dtype of the lookup pyramid ONLY (the masked cost volume used by
     # the argmax bootstrap and the init loss stays fp32). The XLA one-hot
     # lookup is HBM-bound on re-reading the pyramid once per tap (~635 MB per

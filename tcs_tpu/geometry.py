@@ -144,7 +144,7 @@ def disp2disp_grad_candidates(disp: jax.Array, level: int = 2) -> jax.Array:
 
 def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
          K: jax.Array, K_inv: jax.Array, baseline: jax.Array,
-         feature_dtype=jnp.float32):
+         feature_dtype=jnp.float32, splat_backend: str = "xla"):
     """Forward-warp previous-frame disparity + features to the current frame.
 
     disp→depth→3D point→rigid transform→reproject; softmax-splat (disp, fmap)
@@ -178,16 +178,19 @@ def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
     if jnp.dtype(feature_dtype) == jnp.float32:
         feats = jnp.concatenate([cur_disp, fmap], axis=-1)
         splatted, mask = softsplat(feats, forward_flow, metric,
-                                   mode="soft-clipeps", valid_mask=valid)
+                                   mode="soft-clipeps", valid_mask=valid,
+                                   backend=splat_backend)
         out_disp = splatted[..., :1]
         out_fmap = splatted[..., 1:]
     else:
         dt = jnp.dtype(feature_dtype)
         out_disp, mask = softsplat(cur_disp, forward_flow, metric,
-                                   mode="soft-clipeps", valid_mask=valid)
+                                   mode="soft-clipeps", valid_mask=valid,
+                                   backend=splat_backend)
         out_fmap, _ = softsplat(fmap.astype(dt), forward_flow.astype(dt),
                                 metric.astype(dt), mode="soft-clipeps",
-                                valid_mask=valid.astype(dt))
+                                valid_mask=valid.astype(dt),
+                                backend=splat_backend)
         out_fmap = out_fmap.astype(jnp.float32)
     return (
         jax.lax.stop_gradient(out_disp),

@@ -269,7 +269,7 @@ class TCStereo(nn.Module):
             # duplicated weight-channel scatter costs more than bf16 saves.
             warped_disp, warped_fmap1, sparse_mask = geometry.warp(
                 state.disp_q, state.fmap1, relative_T, K_scale, K_scale_inv,
-                cam.baseline,
+                cam.baseline, splat_backend=cfg.splat_backend,
             )
             cost = jnp.sum(
                 corr_ops.l2_normalize(fmap1) * corr_ops.l2_normalize(warped_fmap1),
