@@ -45,6 +45,17 @@ def main():
     # Optional overrides for perf experiments:
     #   python bench.py lookup_backend=pallas corr_dtype=float32
     overrides = dict(kv.split("=", 1) for kv in sys.argv[1:] if "=" in kv)
+    # Coerce override strings to the dataclass field types (int/float/bool).
+    import dataclasses
+    ftypes = {f.name: f.type for f in dataclasses.fields(ModelConfig)}
+    for k, v in overrides.items():
+        t = ftypes.get(k, "str")
+        if t == "int":
+            overrides[k] = int(v)
+        elif t == "float":
+            overrides[k] = float(v)
+        elif t == "bool":
+            overrides[k] = v.lower() in ("1", "true", "yes")
     cfg = ModelConfig(**overrides)  # mixed_precision=True → bf16 conv stacks
     if overrides:
         log(f"config overrides: {overrides}")

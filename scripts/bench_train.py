@@ -14,6 +14,7 @@ Measured history on TPU v5e (tartanair recipe, device-timeline ms/step):
   2605.8 — first measurement (full-frame remat, jnp.sort medians)
   2195.0 — median_pool/median_filter as min/max selection networks
   2188.5 — init_loss top-k as iterative argmax (no XLA sort HLO)
+  2064.3 — GRU-iteration scan unrolled (ModelConfig.scan_unroll=5 default)
 Rejected variants (kept selectable, all OOM or slower):
   --no-remat            OOM: 68.3G of 15.75G HBM (frame activations)
   --frame-unroll 4      OOM: 60.5G (unrolling defeats per-frame remat)
@@ -47,6 +48,8 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--frame-unroll", type=int, default=1)
+    p.add_argument("--scan-unroll", type=int, default=1,
+                   help="unroll factor of the GRU-iteration scan")
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
     args = p.parse_args()
@@ -65,10 +68,12 @@ def main():
     print(f"train bench on {dev}: B={B} {H}x{W} frames={T_len} "
           f"iters={args.iters}", file=sys.stderr)
 
+    from tcs_tpu.config import ModelConfig
     cfg = TrainConfig(train_iters=args.iters, batch_size=B,
                       image_size=(H, W), frame_length=T_len,
                       remat_frames=not args.no_remat,
-                      frame_unroll=args.frame_unroll)
+                      frame_unroll=args.frame_unroll,
+                      model=ModelConfig(scan_unroll=args.scan_unroll))
     model = TCStereo(cfg=cfg.model)
 
     rng = np.random.default_rng(0)
