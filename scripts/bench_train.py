@@ -15,6 +15,9 @@ Measured history on TPU v5e (tartanair recipe, device-timeline ms/step):
   2195.0 — median_pool/median_filter as min/max selection networks
   2188.5 — init_loss top-k as iterative argmax (no XLA sort HLO)
   2064.3 — GRU-iteration scan unrolled (ModelConfig.scan_unroll=5 default)
+  1739.2 — batch-stacked encoder trunk in train mode (the packed trunk is
+           a B=1-inference optimisation; the model now packs only in
+           test_mode — same parameters either way)
 Rejected variants (kept selectable, all OOM or slower):
   --no-remat            OOM: 68.3G of 15.75G HBM (frame activations)
   --frame-unroll 4      OOM: 60.5G (unrolling defeats per-frame remat)
@@ -48,8 +51,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--frame-unroll", type=int, default=1)
-    p.add_argument("--scan-unroll", type=int, default=1,
+    p.add_argument("--scan-unroll", type=int, default=5,
                    help="unroll factor of the GRU-iteration scan")
+
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
     args = p.parse_args()

@@ -43,9 +43,13 @@ class ModelConfig:
     # May change bf16 rounding at fusion boundaries (loss Δ ~1e-4 relative).
     scan_unroll: int = 5
     # Shared-backbone trunk with the two images packed along channels instead
-    # of stacked on batch: exact numerics (block-diagonal kernels), full
-    # 128-lane utilisation for the 64-channel full-res stages (~1.6× faster
-    # measured on v5e). Requires per-channel norms ('none'/'instance').
+    # of stacked on batch: exact numerics (block-diagonal kernels built from
+    # the SAME stored weights at apply time), full 128-lane utilisation for
+    # the 64-channel full-res stages (~1.6× faster at B=1 inference on v5e).
+    # Applied in test_mode only — in training at recipe batch sizes the
+    # batch-stacked trunk measured 2064 → 1739 ms/step faster (the packed
+    # convs do 2× the MACs and reformat poorly in the remat backward).
+    # Requires per-channel norms ('none'/'instance').
     packed_dual_encoder: bool = True
     # Correlation lookup backend. Measured ms/frame at 384×1280 on v5e:
     # 'onehot_w2major' (dense one-hot with the cost volume in (B,H,W2,W1)

@@ -217,10 +217,20 @@ class TCStereo(nn.Module):
 
         # --- context + matching features (bf16 conv stacks) ---
         if cfg.shared_backbone:
+            # The packed (channel-stacked, block-diagonal) trunk and the
+            # batch-stacked trunk share the SAME parameters (layers.Conv
+            # ``dual`` expands weights at apply time) and are numerically
+            # identical, so the layout is chosen per mode by measurement:
+            # packed wins at B=1 inference (~1.6× encoder, 128-lane use at
+            # the 64-ch stages); batch-stacked wins in training at recipe
+            # batch sizes (2064 → 1739 ms/step on TartanAir b4 — the packed
+            # convs do 2× the MACs and reformat poorly in the remat
+            # backward).
             cnet_list, trunk = MultiBasicEncoder(
                 output_dims=(cfg.hidden_dims, cfg.context_dims),
                 norm_fn=cfg.context_norm, dtype=dt,
-                packed_dual=cfg.packed_dual_encoder, name="cnet",
+                packed_dual=cfg.packed_dual_encoder and test_mode,
+                name="cnet",
             )(jnp.concatenate([img1, img2], axis=0), dual_inp=True,
               num_layers=cfg.n_gru_layers)
             fmap = SharedBackboneHead(dtype=dt, name="conv2")(trunk)
