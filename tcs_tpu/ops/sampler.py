@@ -51,6 +51,7 @@ def bilinear_sampler(img: jax.Array, coords: jax.Array) -> jax.Array:
       reference ``core/utils/utils.py:82``).
     """
     B, H, W, C = img.shape
+    Ho, Wo = coords.shape[1:3]
     x = coords[..., 0]
     y = coords[..., 1]
 
@@ -64,15 +65,22 @@ def bilinear_sampler(img: jax.Array, coords: jax.Array) -> jax.Array:
     wc = (x1 - x) * (y - y0)  # bottom-left
     wd = (x - x0) * (y - y0)  # bottom-right
 
+    # Row gathers over the flattened (H·W, C) image: a single int32 index
+    # array per tap, no (…, 2) coordinate tensors anywhere near the gather —
+    # 2-channel minor dims drive XLA into badly-tiled layout copies on TPU
+    # (measured 0.38 ms per 61 KB copy at 1/8 scale inside the temporal
+    # warp path).
+    flat = img.reshape(B, H * W, C)
+
     def gather(iy, ix):
         valid = (
             (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         )
         ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        b_idx = lax.broadcasted_iota(jnp.int32, ixc.shape, 0)
-        vals = img[b_idx, iyc, ixc]  # (B, Ho, Wo, C)
-        return vals, valid[..., None].astype(img.dtype)
+        lin = (iyc * W + ixc).reshape(B, Ho * Wo)
+        vals = jnp.take_along_axis(flat, lin[..., None], axis=1)
+        return vals.reshape(B, Ho, Wo, C), valid[..., None].astype(img.dtype)
 
     va, ma = gather(y0, x0)
     vb, mb = gather(y0, x1)
