@@ -50,6 +50,13 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat-mode", default=None,
+                   choices=["frame", "encoder", "cell", "encoder_cell",
+                            "none"],
+                   help="frame = whole-frame jax.checkpoint (default); "
+                        "encoder / cell / encoder_cell = selective remat "
+                        "inside the model (ModelConfig.remat_encoder / "
+                        "remat_iter_cell) with no outer frame remat")
     p.add_argument("--frame-unroll", type=int, default=1)
     p.add_argument("--scan-unroll", type=int, default=5,
                    help="unroll factor of the GRU-iteration scan")
@@ -73,11 +80,16 @@ def main():
           f"iters={args.iters}", file=sys.stderr)
 
     from tcs_tpu.config import ModelConfig
+    mode = args.remat_mode or ("none" if args.no_remat else "frame")
     cfg = TrainConfig(train_iters=args.iters, batch_size=B,
                       image_size=(H, W), frame_length=T_len,
-                      remat_frames=not args.no_remat,
+                      remat_frames=mode == "frame",
                       frame_unroll=args.frame_unroll,
-                      model=ModelConfig(scan_unroll=args.scan_unroll))
+                      model=ModelConfig(
+                          scan_unroll=args.scan_unroll,
+                          remat_encoder=mode in ("encoder", "encoder_cell"),
+                          remat_iter_cell=mode in ("cell", "encoder_cell"),
+                      ))
     model = TCStereo(cfg=cfg.model)
 
     rng = np.random.default_rng(0)

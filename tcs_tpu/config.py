@@ -63,6 +63,16 @@ class ModelConfig:
     # 'xla_fused' (one combining scatter over all 4 taps — measured speed in
     # scripts/bench_train.py docstring / PARITY.md).
     splat_backend: str = "xla"
+    # Selective rematerialisation INSIDE the per-frame forward (used by the
+    # training step as an alternative to whole-frame remat, which recomputes
+    # the entire frame — ~800 ms of the TartanAir-recipe backward — when only
+    # the encoder's full/half-res activations actually blow the HBM budget):
+    # ``remat_encoder`` checkpoints the context/feature encoder (saves only
+    # its 1/4-res outputs, ~120 MB/frame at recipe shapes), ``remat_iter_cell``
+    # checkpoints each GRU/refinement iteration (saves only the scan carry).
+    # Both are numerics-preserving. No effect at inference (no backward).
+    remat_encoder: bool = False
+    remat_iter_cell: bool = False
     # Storage dtype of the lookup pyramid ONLY (the masked cost volume used by
     # the argmax bootstrap and the init loss stays fp32). The XLA one-hot
     # lookup is HBM-bound on re-reading the pyramid once per tap (~635 MB per

@@ -226,13 +226,21 @@ class TCStereo(nn.Module):
             # batch sizes (2064 → 1739 ms/step on TartanAir b4 — the packed
             # convs do 2× the MACs and reformat poorly in the remat
             # backward).
-            cnet_list, trunk = MultiBasicEncoder(
+            enc_cls = MultiBasicEncoder
+            if cfg.remat_encoder and not test_mode:
+                # Checkpoint the encoder as its own remat segment: the
+                # backward recomputes just the trunk (instead of the whole
+                # frame under TrainConfig.remat_frames) and only the 1/4-res
+                # outputs are saved. static_argnums counts self as 0.
+                enc_cls = nn.checkpoint(MultiBasicEncoder, prevent_cse=False,
+                                        static_argnums=(2, 3))
+            cnet_list, trunk = enc_cls(
                 output_dims=(cfg.hidden_dims, cfg.context_dims),
                 norm_fn=cfg.context_norm, dtype=dt,
                 packed_dual=cfg.packed_dual_encoder and test_mode,
                 name="cnet",
-            )(jnp.concatenate([img1, img2], axis=0), dual_inp=True,
-              num_layers=cfg.n_gru_layers)
+            )(jnp.concatenate([img1, img2], axis=0), True,
+              cfg.n_gru_layers)
             fmap = SharedBackboneHead(dtype=dt, name="conv2")(trunk)
             fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
         else:
@@ -352,8 +360,14 @@ class TCStereo(nn.Module):
         )
 
         # --- iterative refinement (lifted scan, params broadcast) ---
+        cell_cls = RefinementCell
+        if cfg.remat_iter_cell and not test_mode:
+            # Per-iteration remat: the backward saves only the scan carry
+            # (hidden states + disparity) and recomputes each iteration's
+            # internals — the standard scan-over-remat-cell pattern.
+            cell_cls = nn.checkpoint(RefinementCell, prevent_cse=False)
         scan = nn.scan(
-            RefinementCell,
+            cell_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,

@@ -86,6 +86,31 @@ def test_train_step_runs_and_optimizes(train_setup):
     assert int(ts2.step) == 2
 
 
+def test_selective_remat_matches_frame_remat(train_setup):
+    """ModelConfig.remat_encoder / remat_iter_cell (selective remat inside
+    the frame) must reproduce whole-frame remat losses/gradients — remat is
+    a memory/layout choice, never a numerics choice."""
+    import dataclasses
+
+    cfg, model, ts, batch = train_setup
+    step = make_train_step(model, cfg, donate=False)
+    _, m_ref = step(ts, batch)
+
+    mcfg = dataclasses.replace(cfg.model, remat_encoder=True,
+                               remat_iter_cell=True)
+    cfg2 = dataclasses.replace(cfg, model=mcfg, remat_frames=False)
+    model2 = TCStereo(cfg=mcfg)
+    ts2 = TrainState.create(apply_fn=model2.apply, params=ts.params,
+                            tx=make_optimizer(cfg2))
+    step2 = make_train_step(model2, cfg2, donate=False)
+    _, m_sel = step2(ts2, batch)
+
+    np.testing.assert_allclose(float(m_sel["live_loss"]),
+                               float(m_ref["live_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_sel["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-4)
+
+
 def test_checkpoint_full_resume(train_setup, tmp_path):
     from tcs_tpu.utils.checkpoint import CheckpointManager
 
