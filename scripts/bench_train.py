@@ -58,6 +58,10 @@ def main():
                         "inside the model (ModelConfig.remat_encoder / "
                         "remat_iter_cell) with no outer frame remat")
     p.add_argument("--frame-unroll", type=int, default=1)
+    p.add_argument("--remat-save", default=None,
+                   help="comma-separated checkpoint_name tags to save under "
+                        "frame remat (TrainConfig.remat_save_names); "
+                        "'' = save nothing (plain full-frame remat)")
     p.add_argument("--scan-unroll", type=int, default=5,
                    help="unroll factor of the GRU-iteration scan")
 
@@ -81,9 +85,13 @@ def main():
 
     from tcs_tpu.config import ModelConfig
     mode = args.remat_mode or ("none" if args.no_remat else "frame")
+    save_names = TrainConfig().remat_save_names
+    if args.remat_save is not None:
+        save_names = tuple(s for s in args.remat_save.split(",") if s)
     cfg = TrainConfig(train_iters=args.iters, batch_size=B,
                       image_size=(H, W), frame_length=T_len,
                       remat_frames=mode == "frame",
+                      remat_save_names=save_names,
                       frame_unroll=args.frame_unroll,
                       model=ModelConfig(
                           scan_unroll=args.scan_unroll,

@@ -73,6 +73,15 @@ class ModelConfig:
     # Both are numerics-preserving. No effect at inference (no backward).
     remat_encoder: bool = False
     remat_iter_cell: bool = False
+    # Space-to-depth factor for the encoder's 7×7 stem conv in the
+    # batch-stacked trunk (training / non-packed paths). The 6-channel 7×7
+    # conv runs at ~2% MXU utilisation (20.5 ms/step forward on the TartanAir
+    # recipe); s=4 rearranges the SAME weights into a (3,3,96,1024) block
+    # conv (layers.Conv.s2d) that runs AT peak (4.1 ms) — but the s2d/d2s
+    # layout transposes around it cost ~32 ms/step on v5e, a net wash
+    # (1759 vs 1740 ms/step measured), so the default stays off. Identical
+    # math, fp reduction order differs (as between any two conv emitters).
+    conv1_s2d: int = 1
     # Storage dtype of the lookup pyramid ONLY (the masked cost volume used by
     # the argmax bootstrap and the init loss stays fp32). The XLA one-hot
     # lookup is HBM-bound on re-reading the pyramid once per tap (~635 MB per
@@ -125,6 +134,15 @@ class TrainConfig:
     # Rematerialize each frame's forward in the BPTT backward pass
     # (jax.checkpoint): trades FLOPs for activation memory on long windows.
     remat_frames: bool = True
+    # Named activations (jax.ad_checkpoint.checkpoint_name tags inside the
+    # model, e.g. the encoder stage outputs 'enc_conv1'/'enc_layer1'/
+    # 'enc_layer2'/'enc_layer3') to SAVE under frame remat instead of
+    # recomputing (jax.checkpoint_policies.save_only_these_names). Saving
+    # conv1+layer1 removes their ~40 ms/step recompute from the backward but
+    # measured end-to-end NEUTRAL on the TartanAir recipe (1741 vs 1740
+    # ms/step — the recompute overlaps other backward work), so the default
+    # stays empty (plain full-frame remat, lowest memory).
+    remat_save_names: Tuple[str, ...] = ()
     # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.

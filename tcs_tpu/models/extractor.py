@@ -16,6 +16,7 @@ from typing import Any, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from tcs_tpu.models.layers import (
     Conv,
@@ -78,6 +79,11 @@ class MultiBasicEncoder(nn.Module):
     # full-resolution stages — see layers.Conv ``dual``). Only valid with
     # per-channel norms ('none'/'instance').
     packed_dual: bool = False
+    # Space-to-depth factor for conv1 (batch-stacked trunk only — it doesn't
+    # compose with channel packing): the 7×7 conv on a 3/6-channel input is
+    # the single worst op of the training step at 6/128 MXU lanes (see
+    # layers.Conv.s2d).
+    conv1_s2d: int = 1
 
     @nn.compact
     def __call__(self, x, dual_inp: bool = False, num_layers: int = 3):
@@ -88,16 +94,29 @@ class MultiBasicEncoder(nn.Module):
             # (2B, H, W, 3) → (B, H, W, 6): image1 in channels [:3].
             x = jnp.concatenate([x[: B2 // 2], x[B2 // 2:]], axis=-1)
         x = Conv(64, 7, 1, 3, kernel_init=kaiming_normal_fan_out,
-                 dtype=self.dtype, dual=dual, name="conv1")(x)
+                 dtype=self.dtype, dual=dual,
+                 s2d=1 if packed else self.conv1_s2d, name="conv1")(x)
         x = Norm(self.norm_fn, 64, dtype=self.dtype, name="norm1")(x)
         x = nn.relu(x)
+        # Named remat checkpoints: under frame-level remat with a
+        # save_only_these_names policy (TrainConfig.remat_save_names) these
+        # full-resolution stage outputs are SAVED instead of recomputed in the
+        # backward. conv1 especially: a 7×7 conv on 6 input channels runs at
+        # ~2% MXU utilisation (6 of 128 lanes), ~20 ms/step forward at recipe
+        # shapes, and the plain remat backward recomputes it twice. Its own
+        # weight gradient only needs the *images* (scan inputs), so saving the
+        # output removes the recompute entirely. No-ops without the policy.
+        x = checkpoint_name(x, "enc_conv1")
 
         x = _Stage(64, self.norm_fn, 1, dtype=self.dtype, dual=dual,
                    name="layer1")(x)
+        x = checkpoint_name(x, "enc_layer1")
         x = _Stage(96, self.norm_fn, 2, dtype=self.dtype, dual=dual,
                    name="layer2")(x)
+        x = checkpoint_name(x, "enc_layer2")
         x = _Stage(128, self.norm_fn, 2, dtype=self.dtype, dual=dual,
                    name="layer3")(x)
+        x = checkpoint_name(x, "enc_layer3")
 
         trunk = None
         if dual_inp:

@@ -143,6 +143,16 @@ class Conv(nn.Module):
     torch_bias: bool = True
     dtype: Any = jnp.float32
     dual: int = 1
+    # Space-to-depth factor (stride-1, 'same'-padding convs only). The
+    # logical (k, k, Ci, Co) weights are rearranged at apply time into an
+    # equivalent block conv on the (H/s, W/s, s²·Ci) space-to-depth layout —
+    # same parameters, same math (fp reduction order differs, as it already
+    # does between any two conv emitters). Motivation: a 7×7 conv on a
+    # 3/6-channel image uses 6 of the MXU's 128 contraction lanes (~2%
+    # utilisation, ~20 ms/step at recipe shapes in training, recomputed by
+    # the remat backward); with s=4 the contraction dim becomes s²·Ci = 96
+    # and the conv runs ~10× faster end-to-end despite 3× the nominal MACs.
+    s2d: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -164,6 +174,11 @@ class Conv(nn.Module):
             param_dtype=jnp.float32,
             name="Conv_0",
         )
+        if self.s2d > 1:
+            assert self.dual == 1, "s2d and dual packing don't compose usefully"
+            assert self.stride == 1 and pad == self.kernel // 2, (
+                "s2d conv supports stride-1 'same' convs only")
+            return self._apply_s2d(m, x, ci)
         if self.dual == 1:
             return m(x)
         # Create/read the child's params through a zero-cost dummy call (XLA
@@ -185,6 +200,64 @@ class Conv(nn.Module):
         if self.use_bias:
             bias = m.variables["params"]["bias"]
             y = y + jnp.tile(bias, self.dual).astype(self.dtype)
+        return y
+
+    def _apply_s2d(self, m, x, ci):
+        """Stride-1 'same' conv on the space-to-depth layout (see ``s2d``).
+
+        Output pixel (s·i+a, s·j+b) of the logical conv reads input pixels
+        m = s·i+a+di−pad; in block coordinates that is block i+⌊(a+di−pad)/s⌋,
+        phase (a+di−pad) mod s — so the logical (k,k,Ci,Co) kernel rearranges
+        exactly into an (ext,ext, s²Ci, s²Co) block kernel (unused slots are
+        zero, and zero-padding whole blocks reproduces the logical zero
+        padding because the out-of-range slots have zero weight).
+        """
+        s, k = self.s2d, self.kernel
+        pad = k // 2
+        co = self.features
+        # Create/read params via the dummy call (as in the dual path).
+        _ = m(jnp.zeros((1, 1, 1, ci), x.dtype))
+        kernel = m.variables["params"]["kernel"].astype(jnp.float32)
+
+        omin = -((pad + s - 1) // s)
+        omax = (s - 1 + k - 1 - pad) // s
+        ext = omax - omin + 1
+        canvas_hw = ext * s
+
+        phases = []
+        for a in range(s):
+            off_a = a - pad - omin * s
+            for b in range(s):
+                off_b = b - pad - omin * s
+                canvas = jnp.pad(
+                    kernel,
+                    ((off_a, canvas_hw - k - off_a),
+                     (off_b, canvas_hw - k - off_b), (0, 0), (0, 0)),
+                )
+                blk = canvas.reshape(ext, s, ext, s, ci, co)
+                blk = blk.transpose(0, 2, 1, 3, 4, 5)  # (o, q, p, r, ci, co)
+                phases.append(blk.reshape(ext, ext, s * s * ci, co))
+        # Output channel packing (a, b, co) → (a·s+b)·co + c, matching the
+        # depth-to-space unpack below.
+        kbd = jnp.stack(phases, axis=-2).reshape(ext, ext, s * s * ci,
+                                                 s * s * co)
+
+        B, H, W, _ = x.shape
+        assert H % s == 0 and W % s == 0, (H, W, s)
+        Hs, Ws = H // s, W // s
+        xs = x.reshape(B, Hs, s, Ws, s, ci).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(B, Hs, Ws, s * s * ci)
+
+        y = jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), kbd.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((-omin, omax), (-omin, omax)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y.reshape(B, Hs, Ws, s, s, co).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(B, H, W, co)
+        if self.use_bias:
+            y = y + m.variables["params"]["bias"].astype(self.dtype)
         return y
 
 

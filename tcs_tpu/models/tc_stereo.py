@@ -238,6 +238,7 @@ class TCStereo(nn.Module):
                 output_dims=(cfg.hidden_dims, cfg.context_dims),
                 norm_fn=cfg.context_norm, dtype=dt,
                 packed_dual=cfg.packed_dual_encoder and test_mode,
+                conv1_s2d=cfg.conv1_s2d,
                 name="cnet",
             )(jnp.concatenate([img1, img2], axis=0), True,
               cfg.n_gru_layers)
@@ -246,7 +247,8 @@ class TCStereo(nn.Module):
         else:
             cnet_list, _ = MultiBasicEncoder(
                 output_dims=(cfg.hidden_dims, cfg.context_dims),
-                norm_fn=cfg.context_norm, dtype=dt, name="cnet",
+                norm_fn=cfg.context_norm, dtype=dt,
+                conv1_s2d=cfg.conv1_s2d, name="cnet",
             )(img1, dual_inp=False, num_layers=cfg.n_gru_layers)
             fnet = BasicEncoder(output_dim=256, norm_fn="instance",
                                 downsample=cfg.n_downsample, dtype=dt,

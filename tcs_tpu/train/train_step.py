@@ -123,7 +123,13 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             return out.new_state, (floss, metrics)
 
         if cfg.remat_frames:
-            frame_step = jax.checkpoint(frame_step, prevent_cse=False)
+            policy = None
+            if cfg.remat_save_names:
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    *cfg.remat_save_names
+                )
+            frame_step = jax.checkpoint(frame_step, prevent_cse=False,
+                                        policy=policy)
 
         frames = jax.tree_util.tree_map(
             lambda x: jnp.swapaxes(x, 0, 1),

@@ -24,6 +24,23 @@ def test_conv_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def test_conv_s2d_matches_dense(rng):
+    """layers.Conv(s2d=s): the block-kernel space-to-depth formulation must
+    reproduce the plain conv from the SAME stored parameters (the param tree
+    is identical; only the apply-time layout differs)."""
+    for s, k, ci, co, H, W in ((4, 7, 6, 64, 16, 24), (2, 7, 3, 8, 12, 16),
+                               (4, 3, 6, 8, 8, 16)):
+        x = rng.normal(size=(2, H, W, ci)).astype(np.float32)
+        dense = layers.Conv(features=co, kernel=k, stride=1, padding=k // 2)
+        fast = layers.Conv(features=co, kernel=k, stride=1, padding=k // 2,
+                           s2d=s)
+        params = dense.init(jax.random.PRNGKey(1), jnp.asarray(x))
+        ref = dense.apply(params, jnp.asarray(x))
+        out = fast.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+
 def test_conv_transpose_matches_torch(rng):
     x = rng.normal(size=(1, 6, 8, 3)).astype(np.float32)
     m = layers.ConvTranspose(features=5, kernel=4, stride=2, padding=1,
