@@ -64,6 +64,10 @@ def main():
                         "'' = save nothing (plain full-frame remat)")
     p.add_argument("--scan-unroll", type=int, default=5,
                    help="unroll factor of the GRU-iteration scan")
+    p.add_argument("--lookup-backend", default=None,
+                   help="override ModelConfig.lookup_backend (e.g. "
+                        "onehot_w2major_vjp: hand-written linear VJP, no "
+                        "pyramid residuals under remat)")
 
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
@@ -97,6 +101,8 @@ def main():
                           scan_unroll=args.scan_unroll,
                           remat_encoder=mode in ("encoder", "encoder_cell"),
                           remat_iter_cell=mode in ("cell", "encoder_cell"),
+                          **({"lookup_backend": args.lookup_backend}
+                             if args.lookup_backend else {}),
                       ))
     model = TCStereo(cfg=cfg.model)
 

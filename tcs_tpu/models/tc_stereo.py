@@ -135,6 +135,7 @@ class RefinementCell(nn.Module):
             lookup_fn = {
                 "onehot": corr_ops.lookup_onehot,
                 "onehot_w2major": corr_ops.lookup_onehot_w2major,
+                "onehot_w2major_vjp": corr_ops.lookup_onehot_w2major_vjp,
                 "roll": corr_ops.lookup_roll,
                 "window": corr_ops.lookup_window,
                 "gather": corr_ops.lookup_gather,
@@ -261,7 +262,7 @@ class TCStereo(nn.Module):
         # --- cost volume (fp32, MXU einsum) ---
         raw_cv = corr_ops.build_cost_volume(fmap1, fmap2)
         corr_dt = jnp.dtype(cfg.corr_dtype)
-        if cfg.lookup_backend == "onehot_w2major":
+        if cfg.lookup_backend.startswith("onehot_w2major"):
             # Second MXU einsum producing the (B,H,W2,W1) layout directly —
             # per-tap reductions then run down the cheap sublane axis.
             raw_T = corr_ops.build_cost_volume_w2major(fmap1, fmap2)

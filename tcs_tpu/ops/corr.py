@@ -18,6 +18,7 @@ functionally for JAX:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -311,6 +312,71 @@ def lookup_onehot_w2major(pyramid_T: Sequence[jax.Array], coords_x: jax.Array,
         ]
         outs.append(jnp.stack(level, axis=-1))
     return jnp.concatenate(outs, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_w2major_vjp(radius: int, shapes: tuple):
+    """custom_vjp wrapper of :func:`lookup_onehot_w2major`, cached per static
+    (radius, pyramid shapes/dtypes)."""
+    nt = 2 * radius + 1
+
+    @jax.custom_vjp
+    def lk(pyr, coords_x):
+        return lookup_onehot_w2major(pyr, coords_x, radius)
+
+    def fwd(pyr, coords_x):
+        return lk(pyr, coords_x), coords_x
+
+    def bwd(coords_x, g):
+        douts = []
+        for i, (shape, dtname) in enumerate(shapes):
+            _, _, W2i, _ = shape
+            dt = jnp.dtype(dtname)
+            gl = g[..., i * nt:(i + 1) * nt]  # (B,H,W1,nt)
+            c = coords_x / (2 ** i)
+            base = jnp.floor(c).astype(jnp.int32)
+            frac = (c - base.astype(jnp.float32)).astype(dt)
+            one = jnp.ones((), dt)
+            # Integer-tap cotangents (transpose of the lerp in the forward):
+            # dT_k = (1−frac)·g_k + frac·g_{k−1}.
+            gints = []
+            for t in range(nt + 1):
+                v = jnp.zeros(gl.shape[:-1], dt)
+                if t < nt:
+                    v = v + (one - frac) * gl[..., t]
+                if t >= 1:
+                    v = v + frac * gl[..., t - 1]
+                gints.append(v)
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W2i, 1), 2)
+            d = j - base[:, :, None, :]
+            acc = jnp.zeros(shape, dt)
+            zero = jnp.zeros((), dt)
+            for t in range(nt + 1):
+                acc = acc + jnp.where(d == (t - radius),
+                                      gints[t][:, :, None, :], zero)
+            douts.append(acc)
+        return tuple(douts), jnp.zeros_like(coords_x)
+
+    lk.defvjp(fwd, bwd)
+    return lk
+
+
+def lookup_onehot_w2major_vjp(pyramid_T: Sequence[jax.Array],
+                              coords_x: jax.Array, radius: int) -> jax.Array:
+    """:func:`lookup_onehot_w2major` with a hand-written linear VJP.
+
+    The lookup is linear in the pyramid, so the backward needs NO pyramid
+    residuals (under frame remat the pyramid doesn't have to be recomputed
+    for the lookup's backward) and the cost-volume-sized gradient is built in
+    one fused pass per level instead of one per tap.
+
+    CAVEAT: the coordinate gradient is defined as ZERO — valid for this
+    model, where the lookup coordinates come from a stop-gradient'd disparity
+    (reference detaches ``coords1`` per iteration, tc_stereo.py:176), but NOT
+    a general-purpose lookup gradient.
+    """
+    shapes = tuple((p.shape, str(p.dtype)) for p in pyramid_T)
+    return _lookup_w2major_vjp(radius, shapes)(tuple(pyramid_T), coords_x)
 
 
 # Default lookup used by the model. Benchmarks on TPU v5e at KITTI shapes:

@@ -1,6 +1,7 @@
 """Unit tests for tcs_tpu.ops.corr against torch oracles."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -157,3 +158,30 @@ def test_lookup_w2major_matches_gather_oracle(rng):
             corr.lookup_onehot_w2major(pyr_T, jnp.asarray(coords), r)
         )
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_lookup_w2major_custom_vjp(rng):
+    """The hand-written linear VJP backend reproduces the autodiff lookup
+    exactly — forward values AND pyramid gradients (coordinate gradients are
+    defined as zero: the model always stop-gradients the lookup coords,
+    reference tc_stereo.py:176)."""
+    B, H, W1, W2, levels, r = 1, 4, 16, 16, 3, 4
+    pyr = tuple(
+        jnp.asarray(rng.normal(size=(B, H, W2 >> i, W1)).astype(np.float32))
+        for i in range(levels)
+    )
+    coords = jnp.asarray(
+        rng.uniform(-3, W2 + 3, size=(B, H, W1)).astype(np.float32)
+    )
+
+    out_ref = corr.lookup_onehot_w2major(pyr, coords, r)
+    out_vjp = corr.lookup_onehot_w2major_vjp(pyr, coords, r)
+    np.testing.assert_array_equal(np.asarray(out_vjp), np.asarray(out_ref))
+
+    def loss(fn):
+        return lambda p: jnp.sum(jnp.sin(fn(p, coords, r)))
+
+    g_ref = jax.grad(loss(corr.lookup_onehot_w2major))(pyr)
+    g_vjp = jax.grad(loss(corr.lookup_onehot_w2major_vjp))(pyr)
+    for a, b in zip(g_ref, g_vjp):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
