@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tcs_tpu.ops.sampler import coords_grid
 from tcs_tpu.ops.splat import softsplat
@@ -142,6 +143,58 @@ def disp2disp_grad_candidates(disp: jax.Array, level: int = 2) -> jax.Array:
     return -cross[..., :2] / cross[..., 2:]
 
 
+def _reproject_components(disp, relative_T, K, K_inv, baseline,
+                          clip_disp_min=None):
+    """Pinhole reprojection in scalar-component form.
+
+    Same math as disp2depth → pixel2point → relative_transform (the generic
+    (B,H,W,3)/einsum helpers above), but carried as separate (B,H,W) planes:
+    2/3-channel minor dims drive XLA into badly-tiled layouts on TPU (the
+    same disease fixed in ops/sampler.bilinear_sampler), while full
+    (B,H,W) planes stay on clean (8,128) tiles.
+
+    Returns (X, Y, Z) current-frame camera-space coordinates, each (B,H,W).
+    """
+    B, H, W, _ = disp.shape
+    d = disp[..., 0]
+    if clip_disp_min is not None:
+        d = jnp.clip(d, clip_disp_min, None)
+    fx = K[:, 0, 0]
+    bf = (baseline * fx)[:, None, None]
+    depth = bf / jnp.clip(d, 0.001, None)
+
+    xg = lax.broadcasted_iota(disp.dtype, (B, H, W), 2)
+    yg = lax.broadcasted_iota(disp.dtype, (B, H, W), 1)
+
+    def kv(M, i, j):
+        return M[:, i, j][:, None, None]
+
+    rx = kv(K_inv, 0, 0) * xg + kv(K_inv, 0, 1) * yg + kv(K_inv, 0, 2)
+    ry = kv(K_inv, 1, 0) * xg + kv(K_inv, 1, 1) * yg + kv(K_inv, 1, 2)
+    rz = kv(K_inv, 2, 0) * xg + kv(K_inv, 2, 1) * yg + kv(K_inv, 2, 2)
+    X0, Y0, Z0 = depth * rx, depth * ry, depth * rz
+
+    T = relative_T
+    X = kv(T, 0, 0) * X0 + kv(T, 0, 1) * Y0 + kv(T, 0, 2) * Z0 + kv(T, 0, 3)
+    Y = kv(T, 1, 0) * X0 + kv(T, 1, 1) * Y0 + kv(T, 1, 2) * Z0 + kv(T, 1, 3)
+    Z = kv(T, 2, 0) * X0 + kv(T, 2, 1) * Y0 + kv(T, 2, 2) * Z0 + kv(T, 2, 3)
+    return X, Y, Z
+
+
+def _project_pixels(X, Y, Z, K):
+    """Component-form point2pixel: (u, v) = (K·P)/Z with non-finite → −1."""
+
+    def kv(i, j):
+        return K[:, i, j][:, None, None]
+
+    u = (kv(0, 0) * X + kv(0, 1) * Y + kv(0, 2) * Z) / Z
+    v = (kv(1, 0) * X + kv(1, 1) * Y + kv(1, 2) * Z) / Z
+    ub = jnp.isnan(u) | jnp.isinf(u)
+    vb = jnp.isnan(v) | jnp.isinf(v)
+    return (jnp.where(ub, -jnp.ones_like(u), u),
+            jnp.where(vb, -jnp.ones_like(v), v))
+
+
 def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
          K: jax.Array, K_inv: jax.Array, baseline: jax.Array,
          feature_dtype=jnp.float32, splat_backend: str = "xla"):
@@ -163,16 +216,15 @@ def warp(disp: jax.Array, fmap: jax.Array, relative_T: jax.Array,
     """
     B, H, W, _ = disp.shape
     fx = K[:, 0, 0]
-    depth = disp2depth(disp, baseline, fx)
-    prev_P = pixel2point(depth, K_inv)
-    cur_P = relative_transform(prev_P, relative_T)
-    cur_depth = cur_P[..., 2:3]
+    X, Y, Z = _reproject_components(disp, relative_T, K, K_inv, baseline)
+    cur_depth = Z[..., None]
     cur_disp = depth2disp(cur_depth, baseline, fx)
     valid = ((cur_disp > 0) & (cur_disp < W)).astype(disp.dtype)
 
-    coords0 = coords_grid(B, H, W, disp.dtype)
-    cur_coords = point2pixel(cur_P, cur_depth, K)
-    forward_flow = cur_coords - coords0
+    u, v = _project_pixels(X, Y, Z, K)
+    xg = lax.broadcasted_iota(disp.dtype, (B, H, W), 2)
+    yg = lax.broadcasted_iota(disp.dtype, (B, H, W), 1)
+    forward_flow = jnp.stack([u - xg, v - yg], axis=-1)
 
     metric = jnp.clip(cur_disp - jnp.mean(cur_disp, axis=(1, 2, 3), keepdims=True), -50.0, 50.0)
     if jnp.dtype(feature_dtype) == jnp.float32:
@@ -207,12 +259,10 @@ def get_backward_grid(disp: jax.Array, relative_T: jax.Array, K: jax.Array,
     previous. Invalid (behind-camera) pixels map to −1. Reference
     geo_utils.py:201. Returns (B,H,W,2) pixel coords.
     """
-    fx = K[:, 0, 0]
-    disp = jnp.clip(disp, 0.01, None)
-    depth = disp2depth(disp, baseline, fx)
-    P = pixel2point(depth, K_inv)
-    prev_P = relative_transform(P, relative_T)
-    prev_depth = prev_P[..., 2:3]
-    valid = prev_depth > 0
-    prev_coords = point2pixel(prev_P, prev_depth, K)
-    return jnp.where(valid, prev_coords, -jnp.ones_like(prev_coords))
+    X, Y, Z = _reproject_components(disp, relative_T, K, K_inv, baseline,
+                                    clip_disp_min=0.01)
+    u, v = _project_pixels(X, Y, Z, K)
+    valid = Z > 0
+    neg1 = -jnp.ones_like(u)
+    return jnp.stack([jnp.where(valid, u, neg1),
+                      jnp.where(valid, v, neg1)], axis=-1)
