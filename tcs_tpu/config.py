@@ -59,9 +59,11 @@ class ModelConfig:
     # (gather-based oracles) slower still. All variants are numerically
     # identical (tests/test_corr.py, tests/test_pallas.py).
     lookup_backend: str = "onehot_w2major"
-    # Softmax-splat scatter backend: 'xla' (four per-tap scatter-adds) or
-    # 'xla_fused' (one combining scatter over all 4 taps — measured speed in
-    # scripts/bench_train.py docstring / PARITY.md).
+    # Softmax-splat scatter backend: 'xla' (four per-tap scatter-adds),
+    # 'xla_fused' (one combining scatter over all 4 taps — measured tied),
+    # or 'xla_aligned' (128-lane-aligned split: 256-ch feature scatter +
+    # 2-ch disp/weight scatter — measured 34.7 vs 34.0 ms/frame: the TPU
+    # scatter is collision-serialisation-bound, not tile-alignment-bound).
     splat_backend: str = "xla"
     # Selective rematerialisation INSIDE the per-frame forward (used by the
     # training step as an alternative to whole-frame remat, which recomputes
@@ -82,6 +84,12 @@ class ModelConfig:
     # (1759 vs 1740 ms/step measured), so the default stays off. Identical
     # math, fp reduction order differs (as between any two conv emitters).
     conv1_s2d: int = 1
+    # Space-to-depth factor for the motion encoder's 7×7 conv on the
+    # 1-channel flow (convf1, 1 of 128 MXU lanes otherwise). Measured
+    # slightly WORSE at inference (34.09 vs 33.96 ms/frame — the conv is only
+    # ~0.06 ms/iter and the reshape boundaries eat the gain) and notably
+    # slower to compile; default off, kept as a tested knob.
+    flow_stem_s2d: int = 1
     # Storage dtype of the lookup pyramid ONLY (the masked cost volume used by
     # the argmax bootstrap and the init loss stays fp32). The XLA one-hot
     # lookup is HBM-bound on re-reading the pyramid once per tap (~635 MB per

@@ -147,6 +147,10 @@ class BasicMotionEncoder(nn.Module):
     """Encode (flow, corr-lookup) into motion features (reference :90)."""
 
     dtype: Any = jnp.float32
+    # Space-to-depth factor for the 7×7 conv on the 1-channel flow (convf1):
+    # 1 of 128 MXU lanes otherwise; at 1/4-resolution the s2d/d2s reshapes
+    # are on tiny tensors, so the block-conv form (layers.Conv.s2d) wins.
+    flow_stem_s2d: int = 1
 
     @nn.compact
     def __call__(self, flow, corr):
@@ -155,7 +159,8 @@ class BasicMotionEncoder(nn.Module):
         cor = nn.relu(Conv(64, 3, 1, 1, kernel_init=kaiming_normal_fan_in,
                            dtype=self.dtype, name="convc2")(cor))
         flo = nn.relu(Conv(64, 7, 1, 3, kernel_init=kaiming_normal_fan_in,
-                           dtype=self.dtype, name="convf1")(flow))
+                           dtype=self.dtype, s2d=self.flow_stem_s2d,
+                           name="convf1")(flow))
         flo = nn.relu(Conv(64, 3, 1, 1, kernel_init=kaiming_normal_fan_in,
                            dtype=self.dtype, name="convf2")(flo))
         out = nn.relu(
@@ -174,9 +179,11 @@ class BasicMultiUpdateBlock(nn.Module):
     hidden_dims: Sequence[int] = (128, 128, 128)
     n_gru_layers: int = 3
     dtype: Any = jnp.float32
+    flow_stem_s2d: int = 1
 
     def setup(self):
-        self.encoder = BasicMotionEncoder(dtype=self.dtype)
+        self.encoder = BasicMotionEncoder(dtype=self.dtype,
+                                          flow_stem_s2d=self.flow_stem_s2d)
         # hidden_dims indexing mirrors the reference: [coarse, mid, fine].
         self.gru_fine = ConvGRU(self.hidden_dims[2], dtype=self.dtype)
         self.gru_mid = ConvGRU(self.hidden_dims[1], dtype=self.dtype)

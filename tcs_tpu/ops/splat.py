@@ -149,9 +149,25 @@ def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
         assert metric is not None
         weight = jnp.exp(metric)
 
-    stacked = jnp.concatenate([values * weight, weight * valid_mask], axis=-1)
-    out = _dispatch(stacked, flow, backend)
-    norm = out[..., -1:]
+    if backend == "xla_aligned" and values.shape[-1] % 128 == 1:
+        # Lane-aligned split: the stacked (C+1)-channel scatter rows are not a
+        # multiple of the 128-lane tile (258 floats for disp+fmap+weight), so
+        # every scattered row straddles tile boundaries. Scatter the
+        # 128-aligned feature block separately from a tiny
+        # (disp·w, w)-channel scatter; identical math, same tap
+        # weights/indices (CSE'd by XLA).
+        big = splat_sum(values[..., 1:] * weight, flow)
+        small = splat_sum(
+            jnp.concatenate([values[..., :1] * weight, weight * valid_mask],
+                            axis=-1), flow)
+        payload = jnp.concatenate([small[..., :1], big], axis=-1)
+        norm = small[..., 1:]
+    else:
+        stacked = jnp.concatenate([values * weight, weight * valid_mask],
+                                  axis=-1)
+        out = _dispatch(stacked, flow, backend)
+        payload = out[..., :-1]
+        norm = out[..., -1:]
     mask = (norm != 0).astype(values.dtype)
 
     suffix = mode.split("-")[1] if "-" in mode else "addeps"
@@ -162,11 +178,11 @@ def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
     else:
         raise ValueError(f"unknown softsplat mode suffix: {mode}")
 
-    return out[..., :-1] / norm, mask
+    return payload / norm, mask
 
 
 def _dispatch(values, flow, backend):
-    if backend == "xla":
+    if backend in ("xla", "xla_aligned"):
         return splat_sum(values, flow)
     if backend == "xla_fused":
         return splat_sum_fused(values, flow)
