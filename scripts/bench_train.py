@@ -19,6 +19,8 @@ Measured history on TPU v5e (tartanair recipe, device-timeline ms/step):
            a B=1-inference optimisation; the model now packs only in
            test_mode — same parameters either way)
 Rejected variants (kept selectable, all OOM or slower):
+  --batch 8             OOM on one v5e chip — the reference's GLOBAL batch 8
+                        (4 per GPU × 2) maps to 2 chips × b4 on the DP mesh
   --no-remat            OOM: 68.3G of 15.75G HBM (frame activations)
   --frame-unroll 4      OOM: 60.5G (unrolling defeats per-frame remat)
   --frame-unroll 2      OOM: 25.4G
@@ -183,7 +185,11 @@ def main():
         print(f"profiler: {dev_ms:.1f} ms/step device time", file=sys.stderr)
         # The axon runtime's wall-clock is NOT trustworthy for long steps
         # (returns before device completion); the device timeline is.
-        dt = dev_ms / 1000.0
+        if dev_ms > 0:
+            dt = dev_ms / 1000.0
+        else:
+            print("profiler trace empty — falling back to wall-clock",
+                  file=sys.stderr)
     fps = B * T_len / dt
     print(f"{args.steps} steps: {1000 * dt:.1f} ms/step → {1 / dt:.3f} steps/s, "
           f"{fps:.2f} training frames/s", file=sys.stderr)
