@@ -194,3 +194,37 @@ def test_temporal_consistency_metrics():
     m = temporal_consistency_metrics(gt0, gt1, np.full((4, 4), 300.0),
                                      np.full((4, 4), 300.0))
     assert m is None
+
+
+def test_recipe_presets_match_reference_launch_scripts():
+    """The three TrainConfig presets pin the reference's launch-script flag
+    sets (sceneflow_ddp_train.sh / tartanair_ddp_train.sh /
+    KITTI_ddp_train.sh): steps, lr, per-device batch, crop, frame_length,
+    iters, and the shared defaults (wdecay 1e-5, grad clip 1.0, γ 0.9,
+    loss weights 0.25/5, init_k 3)."""
+    from tcs_tpu.config import RECIPES
+
+    expected = {
+        "sceneflow": dict(num_steps=200_000, lr=2e-4, batch_size=4,
+                          image_size=(320, 720), frame_length=2),
+        "TartanAir": dict(num_steps=100_000, lr=2e-4, batch_size=4,
+                          image_size=(480, 640), frame_length=4),
+        "kitti_raw": dict(num_steps=60_000, lr=1e-4, batch_size=4,
+                          image_size=(320, 1024), frame_length=4),
+    }
+    for name, fields in expected.items():
+        cfg = RECIPES[name]()
+        for k, v in fields.items():
+            assert getattr(cfg, k) == v, (name, k, getattr(cfg, k), v)
+        assert cfg.train_iters == 5 and cfg.valid_iters == 5
+        assert cfg.wdecay == 1e-5 and cfg.grad_clip == 1.0
+        assert cfg.loss_gamma == 0.9
+        assert cfg.normal_loss_weight == 0.25 and cfg.grad_loss_weight == 5.0
+        assert cfg.init_k == 3
+        # Architecture invariants (SURVEY.md §2.6).
+        m = cfg.model
+        assert m.hidden_dims == (128, 128, 128)
+        assert m.corr_levels == 4 and m.corr_radius == 4
+        assert m.n_downsample == 2 and m.n_gru_layers == 3
+        assert m.context_norm == "none" and m.shared_backbone
+    assert RECIPES["kitti_raw"]().restore_ckpt is not None
