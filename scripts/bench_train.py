@@ -18,6 +18,8 @@ Measured history on TPU v5e (tartanair recipe, device-timeline ms/step):
   1739.2 — batch-stacked encoder trunk in train mode (the packed trunk is
            a B=1-inference optimisation; the model now packs only in
            test_mode — same parameters either way)
+  1670.6 — iteration-boundary remat saves (checkpoint_name tags on the GRU
+           scan carries + loop-invariant inputs; remat_save_names default)
 Rejected variants (kept selectable, all OOM or slower):
   --batch 8             OOM on one v5e chip — the reference's GLOBAL batch 8
                         (4 per GPU × 2) maps to 2 chips × b4 on the DP mesh

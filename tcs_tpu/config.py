@@ -143,14 +143,19 @@ class TrainConfig:
     # (jax.checkpoint): trades FLOPs for activation memory on long windows.
     remat_frames: bool = True
     # Named activations (jax.ad_checkpoint.checkpoint_name tags inside the
-    # model, e.g. the encoder stage outputs 'enc_conv1'/'enc_layer1'/
-    # 'enc_layer2'/'enc_layer3') to SAVE under frame remat instead of
-    # recomputing (jax.checkpoint_policies.save_only_these_names). Saving
-    # conv1+layer1 removes their ~40 ms/step recompute from the backward but
-    # measured end-to-end NEUTRAL on the TartanAir recipe (1741 vs 1740
-    # ms/step — the recompute overlaps other backward work), so the default
-    # stays empty (plain full-frame remat, lowest memory).
-    remat_save_names: Tuple[str, ...] = ()
+    # model) to SAVE under frame remat instead of recomputing
+    # (jax.checkpoint_policies.save_only_these_names). The default saves the
+    # GRU-iteration scan boundaries — per-iteration carries ('iter_carry')
+    # and the scan's loop-invariant inputs ('iter_consts', pyramid/context
+    # gates/initial carry) — so the backward recomputes one iteration cell
+    # at a time from saved tensors instead of replaying the whole unrolled
+    # scan chain (whose one-big-graph recompute picks reformat-heavy
+    # layouts): measured 1739.2 → 1670.6 ms/step (+4%) on the TartanAir
+    # recipe for ~1.1 GB of bf16 activations. Also taggable:
+    # 'enc_conv1'/'enc_layer1'/'enc_layer2'/'enc_layer3' (encoder stages —
+    # measured NEUTRAL alone, and 1690 ms when stacked on the iter tags).
+    # Empty = plain full-frame remat (lowest memory).
+    remat_save_names: Tuple[str, ...] = ("iter_carry", "iter_consts")
     # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.

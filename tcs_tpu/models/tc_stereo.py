@@ -185,6 +185,14 @@ class RefinementCell(nn.Module):
 
         # Convex upsampling + its mask head run OUTSIDE the scan (batched over
         # iterations in train mode, final-iteration-only in test mode).
+        # Tag the carry so a remat-save policy ('iter_carry' in
+        # TrainConfig.remat_save_names) can checkpoint each iteration
+        # boundary: the backward then recomputes one cell at a time from its
+        # saved inputs instead of replaying the whole unrolled scan chain.
+        from jax.ad_checkpoint import checkpoint_name
+
+        net_list = tuple(checkpoint_name(n, "iter_carry") for n in net_list)
+        refined_disp = checkpoint_name(refined_disp, "iter_carry")
         ys = (disp_q, refined_disp, disp_grad, fused)
         return (net_list, refined_disp), ys
 
@@ -378,10 +386,19 @@ class TCStereo(nn.Module):
             length=iters,
             unroll=min(cfg.scan_unroll, iters),
         )
+        # Tag the scan's loop-invariant inputs ('iter_consts') and the initial
+        # carry so the per-cell recompute (see RefinementCell) starts from
+        # saved tensors rather than replaying the encoder/completor.
+        from jax.ad_checkpoint import checkpoint_name as _ckname
+
+        def _tag(t, name):
+            return jax.tree_util.tree_map(lambda x: _ckname(x, name), t)
+
         (net_list, refined_disp), ys = scan(
             cfg=cfg, dtype=dt, name="iter_cell"
-        )((net_list, jax.lax.stop_gradient(disp_init)),
-          (pyramid, inp_list, grad_list))
+        )((_tag(net_list, "iter_consts"),
+           _ckname(jax.lax.stop_gradient(disp_init), "iter_consts")),
+          _tag((pyramid, inp_list, grad_list), "iter_consts"))
         disp_q_seq, refined_seq, grads_seq, fused_seq = ys
 
         mask_head = UpsampleMaskHead(downsample_factor=f, dtype=dt,
