@@ -19,7 +19,9 @@ Measured history on TPU v5e (tartanair recipe, device-timeline ms/step):
            a B=1-inference optimisation; the model now packs only in
            test_mode — same parameters either way)
   1670.6 — iteration-boundary remat saves (checkpoint_name tags on the GRU
-           scan carries + loop-invariant inputs; remat_save_names default)
+           scan carries + loop-invariant inputs)
+  1638.1 — + 'frame_mid' saves (completor / warp-path outputs gating the
+           splat + geometry recompute; remat_save_names default)
 Rejected variants (kept selectable, all OOM or slower):
   --batch 8             OOM on one v5e chip — the reference's GLOBAL batch 8
                         (4 per GPU × 2) maps to 2 chips × b4 on the DP mesh

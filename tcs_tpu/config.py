@@ -155,7 +155,11 @@ class TrainConfig:
     # 'enc_conv1'/'enc_layer1'/'enc_layer2'/'enc_layer3' (encoder stages —
     # measured NEUTRAL alone, and 1690 ms when stacked on the iter tags).
     # Empty = plain full-frame remat (lowest memory).
-    remat_save_names: Tuple[str, ...] = ("iter_carry", "iter_consts")
+    # 'frame_mid' additionally saves the tiny completor / warp-path outputs
+    # that gate the splat + pinhole-geometry recompute (<30 MB/frame):
+    # 1670.6 → 1638.1 ms/step.
+    remat_save_names: Tuple[str, ...] = ("iter_carry", "iter_consts",
+                                         "frame_mid")
     # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.

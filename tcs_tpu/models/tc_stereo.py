@@ -315,6 +315,14 @@ class TCStereo(nn.Module):
         sparse_disp, cost, sparse_mask = jax.lax.cond(
             state.valid, warp_path, argmax_path, operand=None
         )
+        # Tiny (B,h,w,1) tensors that gate the whole splat + pinhole-geometry
+        # recompute in the remat backward: saving them ('frame_mid' in
+        # TrainConfig.remat_save_names) costs <1 MB/frame.
+        from jax.ad_checkpoint import checkpoint_name as _ckn
+
+        sparse_disp = _ckn(sparse_disp, "frame_mid")
+        cost = _ckn(cost, "frame_mid")
+        sparse_mask = _ckn(sparse_mask, "frame_mid")
 
         # --- context projections ---
         inp_raw = [nn.relu(x[1]) for x in cnet_list]
@@ -336,6 +344,10 @@ class TCStereo(nn.Module):
         disp_init, disp_mono, w_fuse, net_list = DisparityCompletor(
             dtype=dt, name="disp_completor"
         )(sparse_disp, jax.lax.stop_gradient(cost), sparse_mask, net_raw)
+        disp_init = _ckn(disp_init, "frame_mid")
+        disp_mono = _ckn(disp_mono, "frame_mid")
+        w_fuse = _ckn(w_fuse, "frame_mid")
+        net_list = [_ckn(n, "frame_mid") for n in net_list]
 
         # --- hidden-state temporal warp ---
         def warp_hidden(_):
