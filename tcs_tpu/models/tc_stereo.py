@@ -193,7 +193,10 @@ class RefinementCell(nn.Module):
 
         net_list = tuple(checkpoint_name(n, "iter_carry") for n in net_list)
         refined_disp = checkpoint_name(refined_disp, "iter_carry")
-        ys = (disp_q, refined_disp, disp_grad, fused)
+        # 'iter_ys': the per-iteration refiner features consumed OUTSIDE the
+        # scan by the convex-upsample mask head.
+        ys = (disp_q, refined_disp, disp_grad,
+              checkpoint_name(fused, "iter_ys"))
         return (net_list, refined_disp), ys
 
 
