@@ -43,8 +43,11 @@ sys.path.insert(0, ".")
 import numpy as np
 
 SHAPES = {
-    "sceneflow": dict(H=320, W=704, T=2),   # 720 rounded to /64 for the model
-    "tartanair": dict(H=448, W=640, T=4),   # 480 rounded to /64
+    # Exact recipe crops (sceneflow_ddp_train.sh:9 / tartanair_ddp_train.sh:9
+    # / KITTI_ddp_train.sh:9). 320×720's corr pyramid floor-pools odd widths
+    # (180 → 90 → 45 → 22) like torch avg_pool1d — see ops/corr.corr_pyramid.
+    "sceneflow": dict(H=320, W=720, T=2),
+    "tartanair": dict(H=480, W=640, T=4),
     "kitti": dict(H=320, W=1024, T=4),
 }
 
@@ -94,6 +97,10 @@ def main():
           f"iters={args.iters}", file=sys.stderr)
 
     from tcs_tpu.config import ModelConfig
+    if args.no_remat and args.remat_mode not in (None, "none"):
+        sys.exit(f"--no-remat conflicts with --remat-mode {args.remat_mode}; "
+                 "pass only one (--no-remat is an alias for "
+                 "--remat-mode none)")
     mode = args.remat_mode or ("none" if args.no_remat else "frame")
     save_names = TrainConfig().remat_save_names
     if args.remat_save is not None:

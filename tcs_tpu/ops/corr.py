@@ -49,12 +49,18 @@ def corr_pyramid(cost: jax.Array, num_levels: int) -> Tuple[jax.Array, ...]:
 
     Only levels 0..num_levels-1 are ever looked up (the reference builds one
     extra level it never uses, corr.py:21-23 vs :39).
+
+    Odd widths floor-pool (the trailing element is dropped), matching torch
+    ``F.avg_pool1d(kernel=2, stride=2)`` semantics at the reference
+    corr.py:21-23 — the SceneFlow recipe's 320×720 crop yields W2 = 180 → 90
+    → 45 → 22, which must not crash.
     """
     levels = [cost]
     cur = cost
     for _ in range(num_levels - 1):
         B, H, W1, W2 = cur.shape
-        cur = cur.reshape(B, H, W1, W2 // 2, 2).mean(axis=-1)
+        half = W2 // 2
+        cur = cur[..., : 2 * half].reshape(B, H, W1, half, 2).mean(axis=-1)
         levels.append(cur)
     return tuple(levels)
 
@@ -264,12 +270,17 @@ def build_cost_volume_w2major(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
 
 
 def corr_pyramid_w2major(cost_T: jax.Array, num_levels: int) -> Tuple[jax.Array, ...]:
-    """Average-pool pyramid along W2 (axis -2) of a (B,H,W2,W1) volume."""
+    """Average-pool pyramid along W2 (axis -2) of a (B,H,W2,W1) volume.
+
+    Odd widths floor-pool (torch ``avg_pool1d`` semantics), same as
+    :func:`corr_pyramid`.
+    """
     levels = [cost_T]
     cur = cost_T
     for _ in range(num_levels - 1):
         B, H, W2, W1 = cur.shape
-        cur = cur.reshape(B, H, W2 // 2, 2, W1).mean(axis=-2)
+        half = W2 // 2
+        cur = cur[:, :, : 2 * half].reshape(B, H, half, 2, W1).mean(axis=-2)
         levels.append(cur)
     return tuple(levels)
 
@@ -373,9 +384,13 @@ def lookup_onehot_w2major_vjp(pyramid_T: Sequence[jax.Array],
     CAVEAT: the coordinate gradient is defined as ZERO — valid for this
     model, where the lookup coordinates come from a stop-gradient'd disparity
     (reference detaches ``coords1`` per iteration, tc_stereo.py:176), but NOT
-    a general-purpose lookup gradient.
+    a general-purpose lookup gradient. ``coords_x`` is stop-gradient'd here
+    so the zero cotangent is structurally true for any caller: a
+    differentiable coordinate path gets a correct (constant-coords) gradient
+    rather than a silently wrong one.
     """
     shapes = tuple((p.shape, str(p.dtype)) for p in pyramid_T)
+    coords_x = jax.lax.stop_gradient(coords_x)
     return _lookup_w2major_vjp(radius, shapes)(tuple(pyramid_T), coords_x)
 
 

@@ -40,6 +40,58 @@ def test_pyramid_pooling(rng):
         )
 
 
+def test_pyramid_pooling_odd_width(rng):
+    """Odd W2 floor-pools like torch avg_pool1d (drops trailing element).
+
+    This is the SceneFlow-recipe shape class: 320×720 crop → W2 = 180 → 90
+    → 45 → 22 (reference corr.py:21-23 via F.avg_pool1d)."""
+    for W2 in (45, 180, 13):
+        cv = rng.normal(size=(1, 2, 3, W2)).astype(np.float32)
+        for builder, tr in (
+            (lambda x: corr.corr_pyramid(jnp.asarray(x), 4), lambda a: a),
+            (
+                lambda x: corr.corr_pyramid_w2major(
+                    jnp.asarray(x.transpose(0, 1, 3, 2)), 4
+                ),
+                lambda a: a.transpose(0, 1, 3, 2),
+            ),
+        ):
+            pyr = builder(cv)
+            t = torch.from_numpy(cv).reshape(-1, 1, W2)
+            for i in range(1, 4):
+                t = F.avg_pool1d(t, 2, 2)
+                got = tr(np.asarray(pyr[i])).reshape(-1, pyr[i].size // 6)
+                np.testing.assert_allclose(got, t.squeeze(1).numpy(), atol=1e-6)
+
+
+def test_lookup_odd_width_matches_oracle(rng):
+    """Full build→pyramid→lookup chain at an odd-ish width (W=45) matches the
+    per-element gather oracle for every lookup backend."""
+    B, H, W, C, levels, r = 1, 2, 45, 8, 4, 4
+    f1 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    f2 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    cv = corr.build_cost_volume(jnp.asarray(f1), jnp.asarray(f2))
+    cv_T = corr.build_cost_volume_w2major(jnp.asarray(f1), jnp.asarray(f2))
+    pyr = corr.corr_pyramid(cv, levels)
+    pyr_T = corr.corr_pyramid_w2major(cv_T, levels)
+    assert tuple(p.shape[-1] for p in pyr) == (45, 22, 11, 5)
+    assert tuple(p.shape[-2] for p in pyr_T) == (45, 22, 11, 5)
+    coords = rng.uniform(-4, W + 4, size=(B, H, W)).astype(np.float32)
+    ref = np.asarray(corr.lookup_gather(pyr, jnp.asarray(coords), r))
+    for impl in (corr.lookup_onehot, corr.lookup_window, corr.lookup_roll):
+        np.testing.assert_allclose(
+            np.asarray(impl(pyr, jnp.asarray(coords), r)), ref, atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(corr.lookup_onehot_w2major(pyr_T, jnp.asarray(coords), r)),
+        ref, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(corr.lookup_onehot_w2major_vjp(pyr_T, jnp.asarray(coords), r)),
+        ref, atol=1e-5,
+    )
+
+
 def test_masked_cost_volume(rng):
     cv = rng.normal(size=(1, 2, 4, 4)).astype(np.float32)
     m = np.asarray(corr.masked_cost_volume(jnp.asarray(cv)))

@@ -111,6 +111,89 @@ def test_selective_remat_matches_frame_remat(train_setup):
                                float(m_ref["grad_norm"]), rtol=1e-4)
 
 
+def test_train_step_odd_pyramid_width():
+    """A real optimization step at a width whose corr pyramid hits an odd
+    level (W=80 → W/4 = 20 → 10 → 5 → 2, floor-pooled like torch
+    avg_pool1d). This is the SceneFlow-recipe shape class (320×720 → W2
+    levels 180/90/45/22) that must not crash (reference corr.py:21-23)."""
+    Ho, Wo = 64, 80
+    cfg = small_cfg()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, image_size=(Ho, Wo))
+    model = TCStereo(cfg=cfg.model)
+    ds = SyntheticStereoSequence(n_samples=4, frame_length=2, height=Ho,
+                                 width=Wo)
+    loader = SequenceLoader(ds, batch_size=1, seed=0, num_workers=1)
+    np_batch = next(iter(loader))
+    batch = SequenceBatch(
+        image1=jnp.asarray(np_batch["image1"]),
+        image2=jnp.asarray(np_batch["image2"]),
+        flow=jnp.asarray(np_batch["flow"]),
+        valid=jnp.asarray(np_batch["valid"]),
+        T=jnp.asarray(np_batch["T"]),
+        K=jnp.asarray(np_batch["K"]),
+        baseline=jnp.asarray(np_batch["baseline"]),
+    )
+    state0 = TemporalState.zeros(1, Ho, Wo, cfg.model)
+    cam = CameraParams(K=batch.K, baseline=batch.baseline)
+    params = model.init(jax.random.PRNGKey(0), batch.image1[:, 0],
+                        batch.image2[:, 0], state0, cam, batch.T[:, 0],
+                        iters=1, test_mode=False)
+    ts = TrainState.create(apply_fn=model.apply, params=params,
+                           tx=make_optimizer(cfg))
+    step = make_train_step(model, cfg, donate=False)
+    ts1, m1 = step(ts, batch)
+    assert np.isfinite(float(m1["live_loss"]))
+
+
+@pytest.mark.parametrize("name,hw,fl", [
+    ("sceneflow", (320, 720), 2),
+    ("TartanAir", (480, 640), 4),
+    ("kitti_raw", (320, 1024), 4),
+])
+def test_train_step_traces_at_exact_recipe_shapes(name, hw, fl):
+    """The full train step (init → loss → grad → update) must TRACE at the
+    reference recipes' exact crops (sceneflow_ddp_train.sh:9 etc.) — shape
+    inference only via eval_shape, no compile/execute, so this pins the
+    320×720 odd-pyramid path without a multi-minute CPU compile."""
+    from tcs_tpu.config import RECIPES
+
+    cfg = RECIPES[name]()
+    import dataclasses
+    # batch 1 and 1 GRU iter keep the trace light; shapes are what matter.
+    cfg = dataclasses.replace(cfg, batch_size=1, train_iters=1)
+    assert cfg.image_size == hw and cfg.frame_length == fl
+    Hr, Wr = hw
+    model = TCStereo(cfg=cfg.model)
+
+    def full(image1, image2, flow, valid, T, K, baseline):
+        state0 = TemporalState.zeros(1, Hr, Wr, cfg.model)
+        cam = CameraParams(K=K, baseline=baseline)
+        params = model.init(jax.random.PRNGKey(0), image1[:, 0],
+                            image2[:, 0], state0, cam, T[:, 0],
+                            iters=1, test_mode=False)
+        ts = TrainState.create(apply_fn=model.apply, params=params,
+                               tx=make_optimizer(cfg))
+        batch = SequenceBatch(image1=image1, image2=image2, flow=flow,
+                              valid=valid, T=T, K=K, baseline=baseline)
+        step = make_train_step(model, cfg, donate=False)
+        _, metrics = step(ts, batch)
+        return metrics
+
+    f32 = jnp.float32
+    out = jax.eval_shape(
+        full,
+        jax.ShapeDtypeStruct((1, fl, Hr, Wr, 3), f32),
+        jax.ShapeDtypeStruct((1, fl, Hr, Wr, 3), f32),
+        jax.ShapeDtypeStruct((1, fl, Hr, Wr, 1), f32),
+        jax.ShapeDtypeStruct((1, fl, Hr, Wr, 1), f32),
+        jax.ShapeDtypeStruct((1, fl, 4, 4), f32),
+        jax.ShapeDtypeStruct((1, 3, 3), f32),
+        jax.ShapeDtypeStruct((1,), f32),
+    )
+    assert out["live_loss"].shape == ()
+
+
 def test_checkpoint_full_resume(train_setup, tmp_path):
     from tcs_tpu.utils.checkpoint import CheckpointManager
 
@@ -164,6 +247,50 @@ def test_loader_into_mesh_sharding(train_setup):
     rep = mesh_lib.replicate(ts.params, mesh)
     leaf = jax.tree_util.tree_leaves(rep)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_divergence_restore_end_to_end(tmp_path):
+    """The Trainer's divergence-restore branch (trainer.py): after 3
+    consecutive NaN-loss steps, the last checkpoint is restored and training
+    continues from its step. Exercised through the REAL loop: a poisoned
+    batch stream drives the real jitted train step to NaN."""
+    import dataclasses
+
+    from tcs_tpu.train.trainer import Trainer
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, checkpoint_dir=str(tmp_path), name="divtest",
+        validation_frequency=2, num_steps=8, num_workers=1,
+    )
+    ds = SyntheticStereoSequence(n_samples=64, frame_length=2, height=H,
+                                 width=W)
+    # 2-device mesh keeps the per-step batch small (the full 8-virtual-device
+    # mesh is exercised by test_loader_into_mesh_sharding + dryrun_multichip).
+    trainer = Trainer(cfg, devices=jax.devices()[:2])
+
+    orig_make = trainer.make_batch
+    count = {"n": 0}
+
+    def poisoned(np_batch):
+        count["n"] += 1
+        # Steps 4-6 produce NaN losses (detector patience is 3).
+        if 4 <= count["n"] <= 6:
+            np_batch = dict(np_batch)
+            np_batch["image1"] = np.full_like(np_batch["image1"], np.nan)
+        return orig_make(np_batch)
+
+    trainer.make_batch = poisoned
+    ts = trainer.train(max_steps=8, dataset=ds)
+
+    # Checkpoints were written at python-steps 1 and 3; the NaN streak at
+    # steps 4-6 trips the detector at step 6 → restore to ts.step == 3 →
+    # steps 7, 8 run clean on the restored state → final ts.step == 5.
+    assert count["n"] == 8
+    assert int(ts.step) == 5
+    # The final state must be healthy (params finite).
+    for leaf in jax.tree_util.tree_leaves(ts.params):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_failure_detector():
