@@ -136,9 +136,13 @@ class TrainConfig:
     # Augmentation (reference flags)
     saturation_range: Optional[Tuple[float, float]] = (0.0, 1.4)
     img_gamma: Optional[Tuple[float, float]] = None
+    # 'h'/'hf'/'v' flips are single-pair-only (temporal augmentors reject
+    # them — flips invalidate the carried camera poses; see data/augmentor.py)
     do_flip: Optional[str] = None
     spatial_scale: Tuple[float, float] = (-0.2, 0.4)
-    yjitter: bool = False  # all recipes pass --noyjitter
+    # ±2px right-image row jitter at crop time (simulated imperfect
+    # rectification, reference --noyjitter inverted; all recipes disable it)
+    yjitter: bool = False
     # Rematerialize each frame's forward in the BPTT backward pass
     # (jax.checkpoint): trades FLOPs for activation memory on long windows.
     remat_frames: bool = True
@@ -167,6 +171,10 @@ class TrainConfig:
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"
+    # Loader decode threads per process (reference uses 4 worker processes +
+    # prefetch 4, stereo_datasets.py:727-733; here threads over the
+    # GIL-releasing native decode core).
+    num_workers: int = 4
     restore_ckpt: Optional[str] = None
     # Data roots
     data_root: str = "datasets"

@@ -17,6 +17,18 @@ Semantics preserved:
 - spatial: 2^U(min,max) scale with ±0.2 stretch (prob 0.8), clipped so the
   crop fits; random crop — with the intrinsics K scaled by (sx, sy) and
   shifted by the crop origin (reference :406,427-428,653,681-684);
+- yjitter (simulated imperfect rectification, reference :417-431,727-740):
+  the right-image crop row is jittered by ±2 px relative to the left/flow
+  crop; K shifted by the left crop origin;
+- do_flip ('h' stereo swap / 'hf' h-flip / 'v' v-flip, probs 0.5/0.5/0.1):
+  SINGLE-PAIR ONLY (reference :106-124,:244-258). The reference's temporal
+  augmentors accept ``do_flip`` and silently ignore it (no flip block in
+  their spatial_transform); here the temporal classes REJECT a truthy
+  ``do_flip`` at construction instead — flips would invalidate the camera
+  poses carried with temporal samples. One deviation from the reference's
+  single-pair code: the sparse variant also flips ``valid`` alongside
+  ``flow`` (the reference forgets it, a latent bug on a path its recipes
+  never enable);
 - sparse temporal variant (semi-dense pseudo-labels): dense resize of
   flow/valid with valid==1 test, spatial prob 0.8, no asymmetric jitter.
 
@@ -119,21 +131,43 @@ class ColorJitter:
         self.gamma = gamma  # (gamma_min, gamma_max, gain_min, gain_max)
 
     def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        ops = [
-            lambda x: adjust_brightness(x, rng.uniform(*self.brightness)),
-            lambda x: adjust_contrast(x, rng.uniform(*self.contrast)),
-            lambda x: adjust_saturation(x, rng.uniform(*self.saturation)),
-            lambda x: adjust_hue(x, rng.uniform(*self.hue)),
-        ]
+        # Factors are drawn IN PERMUTATION ORDER (one uniform per op as it
+        # runs) so the RNG stream — and therefore every downstream draw in
+        # the sample's augmentation — is identical between the numpy and
+        # native paths.
+        ranges = [self.brightness, self.contrast, self.saturation, self.hue]
         order = rng.permutation(4)
-        out = img.astype(np.float32)
+        factors = [0.0] * 4
         for i in order:
-            out = ops[i](out)
+            factors[i] = rng.uniform(*ranges[i])
         g_min, g_max = self.gamma[0], self.gamma[1]
         gain_min = self.gamma[2] if len(self.gamma) > 2 else 1.0
         gain_max = self.gamma[3] if len(self.gamma) > 3 else 1.0
-        out = adjust_gamma(out, rng.uniform(g_min, g_max),
-                           rng.uniform(gain_min, gain_max))
+        gamma = rng.uniform(g_min, g_max)
+        gain = rng.uniform(gain_min, gain_max)
+
+        try:
+            from tcs_tpu.data import native_io
+
+            if native_io.has_color_jitter() and img.shape[-1] == 3:
+                out = native_io.color_jitter(
+                    img.astype(np.float32), order, factors[0], factors[1],
+                    factors[2], factors[3], gamma, gain,
+                )
+                return np.round(out).astype(np.uint8)
+        except Exception:
+            pass
+
+        ops = [
+            lambda x: adjust_brightness(x, factors[0]),
+            lambda x: adjust_contrast(x, factors[1]),
+            lambda x: adjust_saturation(x, factors[2]),
+            lambda x: adjust_hue(x, factors[3]),
+        ]
+        out = img.astype(np.float32)
+        for i in order:
+            out = ops[i](out)
+        out = adjust_gamma(out, gamma, gain)
         return np.round(out).astype(np.uint8)
 
 
@@ -192,9 +226,25 @@ class TemporalFlowAugmentor:
     Input flow is signed x-flow (−disp), (T,H,W,1).
     """
 
+    # Single-pair subclasses flip (reference augmentor.py:106-124); temporal
+    # sequences carry camera poses that a flip would invalidate, so the
+    # temporal classes refuse do_flip instead of silently ignoring it the way
+    # the reference's temporal augmentors do.
+    _allow_flip = False
+
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
                  do_flip=False, yjitter=False, saturation_range=(0.6, 1.4),
                  gamma=(1, 1, 1, 1)):
+        if do_flip and not self._allow_flip:
+            raise ValueError(
+                f"{type(self).__name__} does not support do_flip={do_flip!r}: "
+                "flips invalidate the camera poses of temporal samples (the "
+                "reference's temporal augmentors accept the flag but never "
+                "flip). Use FlowAugmentor/SparseFlowAugmentor for flips."
+            )
+        if do_flip not in (False, None, "h", "hf", "v"):
+            raise ValueError(f"do_flip must be one of 'h'/'hf'/'v', got "
+                             f"{do_flip!r}")
         self.crop_size = tuple(crop_size)
         self.min_scale = min_scale
         self.max_scale = max_scale
@@ -203,6 +253,8 @@ class TemporalFlowAugmentor:
         self.max_stretch = 0.2
         self.yjitter = yjitter
         self.do_flip = do_flip
+        self.h_flip_prob = 0.5
+        self.v_flip_prob = 0.1
         self.photo = ColorJitter(0.4, 0.4, saturation_range, 0.5 / 3.14, gamma)
         self.asymmetric_color_aug_prob = 0.2
         self.eraser_aug_prob = 0.5
@@ -246,6 +298,34 @@ class TemporalFlowAugmentor:
             sy *= 2 ** rng.uniform(-self.max_stretch, self.max_stretch)
         return max(sx, min_scale), max(sy, min_scale)
 
+    # -- flips (single-pair classes only; reference :106-124,:244-258) ------
+    def flip_transform(self, seq1, seq2, flow, valid, rng):
+        """'hf': h-flip both images + negate x-flow; 'h': stereo swap (new
+        left = flipped right, new right = flipped left; flow untouched, as
+        in the reference); 'v': v-flip (the y-flow negation is vacuous for
+        our 1-channel x-flow — stereo flow has no y component). The sparse
+        variant's ``valid`` is flipped alongside (reference omission fixed).
+        Intrinsics are NOT adjusted — the reference's single-pair augmentors
+        carry no K, and the flip path is single-pair only."""
+        if not self.do_flip:
+            return seq1, seq2, flow, valid
+        if rng.random() < self.h_flip_prob and self.do_flip == "hf":
+            seq1 = seq1[:, :, ::-1]
+            seq2 = seq2[:, :, ::-1]
+            flow = flow[:, :, ::-1] * -1.0
+            valid = valid[:, :, ::-1]
+        if rng.random() < self.h_flip_prob and self.do_flip == "h":
+            tmp = seq1[:, :, ::-1]
+            seq1 = seq2[:, :, ::-1]
+            seq2 = tmp
+        if rng.random() < self.v_flip_prob and self.do_flip == "v":
+            seq1 = seq1[:, ::-1]
+            seq2 = seq2[:, ::-1]
+            flow = flow[:, ::-1]
+            valid = valid[:, ::-1]
+        return (np.ascontiguousarray(seq1), np.ascontiguousarray(seq2),
+                np.ascontiguousarray(flow), np.ascontiguousarray(valid))
+
     def spatial_transform(self, seq1, seq2, flow, valid, K, rng):
         T, H, W, _ = seq1.shape
         sx, sy = self._sample_scales(H, W, rng)
@@ -262,12 +342,24 @@ class TemporalFlowAugmentor:
                 )
                 valid = (valid == 1.0).astype(np.float32)
 
+        seq1, seq2, flow, valid = self.flip_transform(seq1, seq2, flow,
+                                                      valid, rng)
+
         ch, cw = self.crop_size
         Hs, Ws = seq1.shape[1:3]
-        y0 = int(rng.integers(0, Hs - ch)) if Hs > ch else 0
-        x0 = int(rng.integers(0, Ws - cw)) if Ws > cw else 0
+        if self.yjitter and Hs >= ch + 5 and Ws >= cw + 5:
+            # Simulated imperfect rectification (reference :417-431): the
+            # right-image crop row is jittered ±2 px against the left/flow
+            # crop; margins of 2 keep the jittered window in bounds.
+            y0 = int(rng.integers(2, Hs - ch - 2))
+            x0 = int(rng.integers(2, Ws - cw - 2))
+            y1 = y0 + int(rng.integers(-2, 3))
+        else:
+            y0 = int(rng.integers(0, Hs - ch)) if Hs > ch else 0
+            x0 = int(rng.integers(0, Ws - cw)) if Ws > cw else 0
+            y1 = y0
         seq1 = seq1[:, y0 : y0 + ch, x0 : x0 + cw]
-        seq2 = seq2[:, y0 : y0 + ch, x0 : x0 + cw]
+        seq2 = seq2[:, y1 : y1 + ch, x0 : x0 + cw]
         flow = flow[:, y0 : y0 + ch, x0 : x0 + cw]
         if self.sparse:
             valid = valid[:, y0 : y0 + ch, x0 : x0 + cw]
@@ -315,6 +407,8 @@ class TemporalSparseFlowAugmentor(TemporalFlowAugmentor):
 
 
 class FlowAugmentor(TemporalFlowAugmentor):
+    _allow_flip = True
+
     def augment_pair(self, img1, img2, flow, K=None, rng=None):
         K = np.eye(3) if K is None else K
         s1, s2, f, v, K = self(
@@ -325,6 +419,8 @@ class FlowAugmentor(TemporalFlowAugmentor):
 
 
 class SparseFlowAugmentor(TemporalSparseFlowAugmentor):
+    _allow_flip = True
+
     def augment_pair(self, img1, img2, flow, valid, K=None, rng=None):
         K = np.eye(3) if K is None else K
         s1, s2, f, v, K = self(

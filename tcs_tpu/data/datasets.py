@@ -583,7 +583,7 @@ def fetch_dataset(cfg) -> StereoSequenceDataset:
         "crop_size": cfg.image_size,
         "min_scale": cfg.spatial_scale[0],
         "max_scale": cfg.spatial_scale[1],
-        "do_flip": False,
+        "do_flip": cfg.do_flip or False,
         "yjitter": cfg.yjitter,
     }
     if cfg.saturation_range is not None:
