@@ -267,6 +267,115 @@ void tcs_resize_bilinear_u8(const unsigned char* in, int H, int W, int C,
   tcs_resize_bilinear_f32(tmp.data(), H, W, C, out, H2, W2);
 }
 
-int tcs_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Photometric color jitter (torchvision ColorJitter + gamma semantics,
+// matching tcs_tpu.data.augmentor.ColorJitter's numpy oracle; see
+// reference core/utils/augmentor.py:310-351). This is the hot op of the
+// input pipeline — the numpy HSV round-trip costs ~2.4 s per frame_length=4
+// sample at 480×640, starving the train step. Values are 0..255 float32,
+// clipped per op exactly like the numpy path; the caller rounds to uint8.
+// ---------------------------------------------------------------------------
+
+static inline float tcs_clip255(float v) {
+  return v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+}
+
+static inline float tcs_gray(const float* p) {
+  // ITU-R 601-2 luma (PIL convert('L') weights)
+  return 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+}
+
+// Rotate hue of one RGB pixel (0..255 floats) by hue_shift turns.
+// Mirrors _rgb_to_hsv/_hsv_to_rgb in tcs_tpu/data/augmentor.py, including
+// the tie-breaking order (r==max wins over g==max).
+static inline void tcs_hue_rotate_px(float* px, float hue_shift) {
+  float r = px[0] / 255.f, g = px[1] / 255.f, b = px[2] / 255.f;
+  float maxc = std::max(r, std::max(g, b));
+  float minc = std::min(r, std::min(g, b));
+  float v = maxc;
+  float deltac = maxc - minc;
+  float s = maxc > 0.f ? deltac / std::max(maxc, 1e-12f) : 0.f;
+  float h;
+  if (deltac == 0.f) {
+    h = 0.f;
+  } else {
+    float rc = (maxc - r) / deltac;
+    float gc = (maxc - g) / deltac;
+    float bc = (maxc - b) / deltac;
+    if (r == maxc) h = bc - gc;
+    else if (g == maxc) h = 2.f + rc - bc;
+    else h = 4.f + gc - rc;
+    h = h / 6.f;
+    h = h - std::floor(h);  // python % 1.0 (non-negative)
+  }
+  h = h + hue_shift;
+  h = h - std::floor(h);
+  float hf = h * 6.f;
+  int i = (int)std::floor(hf) % 6;
+  float f = hf - std::floor(hf);
+  float p = v * (1.f - s);
+  float q = v * (1.f - s * f);
+  float t = v * (1.f - s * (1.f - f));
+  float ro, go, bo;
+  switch (i) {
+    case 0: ro = v; go = t; bo = p; break;
+    case 1: ro = q; go = v; bo = p; break;
+    case 2: ro = p; go = v; bo = t; break;
+    case 3: ro = p; go = q; bo = v; break;
+    case 4: ro = t; go = p; bo = v; break;
+    default: ro = v; go = p; bo = q; break;
+  }
+  px[0] = ro * 255.f;
+  px[1] = go * 255.f;
+  px[2] = bo * 255.f;
+}
+
+// img: in/out H*W*3 float32 (0..255). order: 4 op codes, a permutation of
+// {0: brightness, 1: contrast, 2: saturation, 3: hue}. Gamma applied last.
+void tcs_color_jitter(float* img, long npx, const int* order,
+                      float f_brightness, float f_contrast,
+                      float f_saturation, float hue_shift, float gamma,
+                      float gain) {
+  const long n = npx * 3;
+  for (int k = 0; k < 4; ++k) {
+    switch (order[k]) {
+      case 0: {  // brightness: blend with zeros
+        for (long i = 0; i < n; ++i)
+          img[i] = tcs_clip255(f_brightness * img[i]);
+        break;
+      }
+      case 1: {  // contrast: blend with current grayscale mean
+        double acc = 0.0;
+        for (long i = 0; i < npx; ++i) acc += tcs_gray(img + 3 * i);
+        const float mean = (float)(acc / (double)npx);
+        const float base = (1.f - f_contrast) * mean;
+        for (long i = 0; i < n; ++i)
+          img[i] = tcs_clip255(f_contrast * img[i] + base);
+        break;
+      }
+      case 2: {  // saturation: blend each pixel with its own gray
+        for (long i = 0; i < npx; ++i) {
+          float* p = img + 3 * i;
+          const float gy = tcs_gray(p);
+          const float base = (1.f - f_saturation) * gy;
+          p[0] = tcs_clip255(f_saturation * p[0] + base);
+          p[1] = tcs_clip255(f_saturation * p[1] + base);
+          p[2] = tcs_clip255(f_saturation * p[2] + base);
+        }
+        break;
+      }
+      default: {  // hue
+        for (long i = 0; i < npx; ++i) tcs_hue_rotate_px(img + 3 * i, hue_shift);
+        break;
+      }
+    }
+  }
+  if (gamma != 1.0f || gain != 1.0f) {
+    for (long i = 0; i < n; ++i)
+      img[i] = tcs_clip255(255.f * gain * std::pow(img[i] / 255.f, gamma));
+  }
+}
+
+int tcs_version() { return 2; }
 
 }  // extern "C"

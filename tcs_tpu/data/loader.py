@@ -5,8 +5,18 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
 permutation, per-process sharding (each process loads only its rows),
 drop_last batching, and a bounded background prefetcher. Deterministic:
 sample augmentation RNG is derived from (seed, epoch, global_index), so a
-restarted run resumes with identical data order regardless of worker timing
-(the reference seeds per worker instead, :52-62).
+restarted run resumes with identical data order — and the SAME batches in
+the SAME order for any ``num_workers`` — regardless of worker timing (the
+reference seeds per worker instead, :52-62).
+
+Decode parallelism: samples of in-flight batches are decoded concurrently by
+a ``ThreadPoolExecutor`` with ``num_workers`` threads (the reference uses 4
+torch worker *processes* + prefetch 4, stereo_datasets.py:727-733). Threads
+suffice here because the hot decode paths — PNG/PFM reads and bilinear
+resizes in the native C++ core (``native/tcs_io.cc``) and numpy — release
+the GIL; a sliding window of ``prefetch`` batches keeps up to
+``prefetch × batch_size`` sample decodes in flight while batches are still
+collated and yielded strictly in order.
 
 The output batches are plain numpy dicts — feed them through
 ``tcs_tpu.parallel.shard_batch`` / ``global_batch_from_local`` to get
@@ -17,6 +27,8 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -74,11 +86,22 @@ class SequenceLoader:
         stop = threading.Event()
 
         def producer():
+            ex = ThreadPoolExecutor(max_workers=self.num_workers)
             try:
-                for batch_idx in batches:
+                # Sliding window: keep `prefetch` batches' sample decodes in
+                # flight; collate and emit strictly in batch order.
+                window: deque = deque()
+                bi = 0
+                while window or bi < len(batches):
                     if stop.is_set():
                         return
-                    samples = [self._load_one(i) for i in batch_idx]
+                    while bi < len(batches) and len(window) <= self.prefetch:
+                        window.append(
+                            [ex.submit(self._load_one, i)
+                             for i in batches[bi]]
+                        )
+                        bi += 1
+                    samples = [f.result() for f in window.popleft()]
                     collated = {
                         k: np.stack([s[k] for s in samples])
                         for k in samples[0]
@@ -87,6 +110,7 @@ class SequenceLoader:
             except Exception as e:  # surface loader errors to the consumer
                 out_q.put(e)
             finally:
+                ex.shutdown(wait=False, cancel_futures=True)
                 out_q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

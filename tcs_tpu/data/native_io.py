@@ -56,8 +56,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "tcs_color_jitter"):  # version ≥ 2
+        lib.tcs_color_jitter.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+        ]
     _lib = lib
     return lib
+
+
+def has_color_jitter() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "tcs_color_jitter")
 
 
 def available() -> bool:
@@ -121,6 +132,32 @@ def read_pfm(path: str) -> np.ndarray:
     if rc != 0:
         raise IOError(f"tcs_pfm_read({path}) rc={rc}")
     return out[..., 0] if ch.value == 1 else out
+
+
+def color_jitter(img: np.ndarray, order, f_brightness: float,
+                 f_contrast: float, f_saturation: float, hue_shift: float,
+                 gamma: float, gain: float) -> np.ndarray:
+    """Apply brightness/contrast/saturation/hue in ``order`` (a permutation
+    of 0..3), then gamma — GIL-released C++ loop matching the numpy
+    ``ColorJitter`` pipeline. img: (..., 3) 0..255; returns float32
+    (clipped, unrounded — the caller rounds to uint8)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "tcs_color_jitter")
+    buf = np.ascontiguousarray(img, np.float32).copy() \
+        if not (isinstance(img, np.ndarray) and img.dtype == np.float32
+                and img.flags.c_contiguous) else img.copy()
+    assert buf.shape[-1] == 3, buf.shape
+    order_arr = np.ascontiguousarray(order, np.int32)
+    assert order_arr.size == 4
+    lib.tcs_color_jitter(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(buf.size // 3),
+        order_arr.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_float(f_brightness), ctypes.c_float(f_contrast),
+        ctypes.c_float(f_saturation), ctypes.c_float(hue_shift),
+        ctypes.c_float(gamma), ctypes.c_float(gain),
+    )
+    return buf
 
 
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
