@@ -62,37 +62,80 @@ def make_eval_fn(model: TCStereo, iters: int):
 
 
 class TemporalEvaluator:
-    """Carries state + compiled step across the frames of one sequence."""
+    """Carries state + compiled step across the frames of one (or a batch
+    of) sequence stream(s).
 
-    def __init__(self, model: TCStereo, params, cfg: ModelConfig, iters: int):
+    With ``mesh`` (a 1-axis data mesh), a batched call shards the sequence
+    batch over the devices — the TPU-native analogue of the reference's
+    ``nn.DataParallel`` eval wrap (``evaluate_stereo.py:392``): sequences
+    are embarrassingly parallel, one stream per device, all frames of a
+    chunk advance in one jitted step."""
+
+    def __init__(self, model: TCStereo, params, cfg: ModelConfig, iters: int,
+                 mesh=None):
         self.model = model
         self.params = params
         self.cfg = cfg
         self.iters = iters
+        self.mesh = mesh
         self._step = make_eval_fn(model, iters)
         self.state = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from tcs_tpu.parallel import mesh as mesh_lib
+
+            self._batch_sharding = mesh_lib.batch_sharding(mesh)
+            self._scalar_sharding = NamedSharding(mesh, PartitionSpec())
+            self.params = mesh_lib.replicate(params, mesh)
+        else:
+            self._batch_sharding = None
 
     def reset(self):
         self.state = None
 
+    @property
+    def n_devices(self) -> int:
+        return 1 if self.mesh is None else self.mesh.devices.size
+
+    def _put(self, x):
+        if self._batch_sharding is None:
+            return x
+        # Scalar leaves (e.g. TemporalState flags) replicate; batched arrays
+        # shard on the leading axis.
+        sh = self._scalar_sharding if np.ndim(x) == 0 else self._batch_sharding
+        return jax.device_put(x, sh)
+
     def __call__(self, image1: np.ndarray, image2: np.ndarray,
-                 K: np.ndarray, baseline: float, T: np.ndarray):
-        """image1/2: (H, W, 3) float; returns disparity (H, W) numpy ≥ 0."""
-        H, W = image1.shape[:2]
-        padder = InputPadder((1, H, W, 3), divis_by=32)
-        i1 = jnp.asarray(image1, jnp.float32)[None]
-        i2 = jnp.asarray(image2, jnp.float32)[None]
-        (i1, i2), Kp = padder.pad(i1, i2, K=jnp.asarray(K, jnp.float32)[None])
-        cam = CameraParams(K=Kp, baseline=jnp.full((1,), baseline, jnp.float32))
+                 K: np.ndarray, baseline, T: np.ndarray):
+        """image1/2: (H, W, 3) — returns disparity (H, W) numpy ≥ 0 — or
+        batched (D, H, W, 3) with K (D,3,3) / baseline (D,) / T (D,4,4) —
+        returns (D, H, W). Batched inputs are sharded over ``mesh``."""
+        batched = np.ndim(image1) == 4
+        if not batched:
+            image1, image2 = image1[None], image2[None]
+            K, T = np.asarray(K)[None], np.asarray(T)[None]
+            baseline = np.full((1,), baseline, np.float32)
+        D, H, W = image1.shape[:3]
+        padder = InputPadder((D, H, W, 3), divis_by=32)
+        i1 = jnp.asarray(image1, jnp.float32)
+        i2 = jnp.asarray(image2, jnp.float32)
+        (i1, i2), Kp = padder.pad(i1, i2, K=jnp.asarray(K, jnp.float32))
+        i1, i2 = self._put(i1), self._put(i2)
+        cam = CameraParams(K=self._put(Kp),
+                           baseline=self._put(jnp.asarray(baseline,
+                                                          jnp.float32)))
         if self.state is None:
             Hp = H + padder.pad_lrtb[2] + padder.pad_lrtb[3]
             Wp = W + padder.pad_lrtb[0] + padder.pad_lrtb[1]
-            self.state = TemporalState.zeros(1, Hp, Wp, self.cfg)
+            self.state = jax.tree_util.tree_map(
+                self._put, TemporalState.zeros(D, Hp, Wp, self.cfg))
         flow, self.state = self._step(
-            self.params, i1, i2, self.state, cam, jnp.asarray(T, jnp.float32)[None]
+            self.params, i1, i2, self.state, cam,
+            self._put(jnp.asarray(T, jnp.float32)),
         )
         disp = -padder.unpad(flow)
-        return np.asarray(disp[0, ..., 0])
+        out = np.asarray(disp[..., 0])
+        return out if batched else out[0]
 
 
 def _epe_metrics(disp_pr, disp_gt, max_disp=192.0):
@@ -136,38 +179,91 @@ def _aggregate(rows: List[Dict], prefix: str) -> Dict[str, float]:
     return {f"{prefix}-epe": epe, f"{prefix}-d1": float(d1), f"{prefix}-d3": float(d3)}
 
 
+def _evaluate_sequences(ev: TemporalEvaluator, seqs: List[Dict],
+                        max_frames: Optional[int], on_frame) -> None:
+    """Drive sequences through the evaluator in chunks of ``ev.n_devices``.
+
+    Each chunk advances frame-by-frame with ONE jitted step per frame
+    covering all streams (batch axis sharded over the mesh when the
+    evaluator has one). Streams shorter than the chunk's longest repeat
+    their last frame (the model keeps running, the metrics callback is not
+    invoked). A chunk shorter than the device count is padded by repeating
+    its last sequence, likewise masked. With n_devices == 1 this reduces to
+    the serial per-sequence streaming loop.
+
+    seqs: dicts with img1s/img2s/disps/poses lists + K (3,3), baseline
+    (float) and read_gt(path) -> np.ndarray.
+    on_frame(seq_index, frame_index, disp, disp_gt) collects metrics.
+    """
+    D = ev.n_devices
+    for c0 in range(0, len(seqs), D):
+        chunk = seqs[c0 : c0 + D]
+        work = chunk + [chunk[-1]] * (D - len(chunk))
+        lens = [
+            min(len(s["img1s"]), max_frames if max_frames else 10**9)
+            for s in work
+        ]
+        ev.reset()
+        for j in range(max(lens[: len(chunk)])):
+            i1s, i2s, Ks, Ts, bls = [], [], [], [], []
+            gts = [None] * len(work)
+            for d, (s, n) in enumerate(zip(work, lens)):
+                jj = min(j, n - 1)
+                i1s.append(
+                    frame_utils.read_image(s["img1s"][jj]).astype(np.float32))
+                i2s.append(
+                    frame_utils.read_image(s["img2s"][jj]).astype(np.float32))
+                Ks.append(s["K"])
+                bls.append(s["baseline"])
+                Ts.append(np.asarray(s["poses"][jj], np.float32))
+                if d < len(chunk) and j < n:
+                    gts[d] = s["read_gt"](s["disps"][jj])
+            disp = ev(np.stack(i1s), np.stack(i2s), np.stack(Ks),
+                      np.asarray(bls, np.float32), np.stack(Ts))
+            for d in range(len(chunk)):
+                if gts[d] is not None:
+                    on_frame(c0 + d, j, disp[d], gts[d])
+
+
 def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
                        root: str = "datasets", max_sequences: Optional[int] = None,
-                       max_frames: Optional[int] = None) -> Dict[str, float]:
-    """Reference ``validate_tartanair`` (:120): 20 held-out sequences."""
+                       max_frames: Optional[int] = None,
+                       mesh=None) -> Dict[str, float]:
+    """Reference ``validate_tartanair`` (:120): 20 held-out sequences.
+
+    With ``mesh``, sequences are distributed over the devices (one stream
+    per device — the reference's ``nn.DataParallel`` analogue,
+    evaluate_stereo.py:392); metrics are identical to the serial path."""
     ds = TartanAir(None, root=root, scene_list=[],
                    test_keywords=tartanair_test_keywords(), is_test=True,
                    mode="temporal", load_flow=False)
-    ev = TemporalEvaluator(model, params, cfg, iters)
-    rows = []
-    tc_rows = []
+    ev = TemporalEvaluator(model, params, cfg, iters, mesh=mesh)
     n_seq = len(ds) if max_sequences is None else min(len(ds), max_sequences)
+
+    def read_gt(path):
+        return frame_utils.readDispTartanAir(path)[0]
+
+    seqs = []
     for s in range(n_seq):
         img1s, img2s, disps, poses = ds.test_sequence(s)
-        ev.reset()
-        prev_disp = prev_gt = None
-        frames = zip(img1s, img2s, disps, poses)
-        for j, (p1, p2, pd, T) in enumerate(frames):
-            if max_frames is not None and j >= max_frames:
-                break
-            disp_gt, _ = frame_utils.readDispTartanAir(pd)
-            disp = ev(frame_utils.read_image(p1).astype(np.float32),
-                      frame_utils.read_image(p2).astype(np.float32),
-                      TARTANAIR_TEST_K, 0.25, T)
-            m = _epe_metrics(disp, disp_gt)
-            if m:
-                rows.append(m)
-            if prev_disp is not None:
-                tc = temporal_consistency_metrics(prev_disp, disp, prev_gt,
-                                                  disp_gt)
-                if tc:
-                    tc_rows.append(tc)
-            prev_disp, prev_gt = disp, disp_gt
+        seqs.append(dict(img1s=img1s, img2s=img2s, disps=disps, poses=poses,
+                         K=TARTANAIR_TEST_K, baseline=0.25, read_gt=read_gt))
+
+    rows, tc_rows = [], []
+    prev = {}  # seq index -> (prev_disp, prev_gt)
+
+    def on_frame(si, j, disp, disp_gt):
+        m = _epe_metrics(disp, disp_gt)
+        if m:
+            rows.append(m)
+        if si in prev and prev[si][2] == j - 1:
+            tc = temporal_consistency_metrics(prev[si][0], disp,
+                                              prev[si][1], disp_gt)
+            if tc:
+                tc_rows.append(tc)
+        prev[si] = (disp, disp_gt, j)
+
+    _evaluate_sequences(ev, seqs, max_frames, on_frame)
     results = _aggregate(rows, "TartanAir")
     if tc_rows:
         results["TartanAir-tc-dd3"] = 100.0 * float(
@@ -180,24 +276,30 @@ def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
 
 def validate_temporal_things(model, params, cfg: ModelConfig, iters: int = 5,
                              root: str = "datasets",
-                             max_sequences: Optional[int] = None) -> Dict[str, float]:
-    """Reference ``validate_temporal_things`` (:265): FlyingThings TEST."""
+                             max_sequences: Optional[int] = None,
+                             mesh=None) -> Dict[str, float]:
+    """Reference ``validate_temporal_things`` (:265): FlyingThings TEST.
+    ``mesh`` shards sequences over devices (see validate_tartanair)."""
     ds = SceneFlowDatasets(None, root=root, dstype="frames_cleanpass",
                            things_test=True, mode="temporal")
-    ev = TemporalEvaluator(model, params, cfg, iters)
-    rows = []
+    ev = TemporalEvaluator(model, params, cfg, iters, mesh=mesh)
     n_seq = len(ds) if max_sequences is None else min(len(ds), max_sequences)
+
+    def read_gt(path):
+        return np.asarray(frame_utils.read_gen(path), np.float32)
+
+    seqs = []
     for s in range(n_seq):
         img1s, img2s, disps, poses = ds.test_sequence(s)
-        ev.reset()
-        for p1, p2, pd, T in zip(img1s, img2s, disps, poses):
-            disp_gt = np.asarray(frame_utils.read_gen(pd), np.float32)
-            disp = ev(frame_utils.read_image(p1).astype(np.float32),
-                      frame_utils.read_image(p2).astype(np.float32),
-                      SCENEFLOW_TEST_K, 1.0, T)
-            m = _epe_metrics(disp, disp_gt)
-            if m:
-                rows.append(m)
+        seqs.append(dict(img1s=img1s, img2s=img2s, disps=disps, poses=poses,
+                         K=SCENEFLOW_TEST_K, baseline=1.0, read_gt=read_gt))
+
+    rows = []
+    _evaluate_sequences(
+        ev, seqs, None,
+        lambda si, j, disp, gt: rows.append(_epe_metrics(disp, gt) or None)
+    )
+    rows = [r for r in rows if r]
     results = _aggregate(rows, "things")
     logger.info("Validation FlyingThings: %s", results)
     return results

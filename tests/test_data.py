@@ -173,6 +173,140 @@ def test_sparse_augmentor(rng):
     assert set(np.unique(v)).issubset({0.0, 1.0})
 
 
+def test_native_color_jitter_matches_numpy_oracle(rng):
+    """The GIL-released C++ jitter (native/tcs_io.cc tcs_color_jitter) must
+    reproduce the numpy pipeline to ≤1 uint8 LSB for any op order/factors."""
+    from tcs_tpu.data import native_io
+    from tcs_tpu.data import augmentor as A
+
+    if not native_io.has_color_jitter():
+        pytest.skip("native lib without color_jitter")
+    img = rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8)
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        order = r.permutation(4)
+        fb, fc, fs = (r.uniform(0.6, 1.4) for _ in range(3))
+        hue = r.uniform(-0.16, 0.16)
+        gamma, gain = r.uniform(0.8, 1.2), r.uniform(0.9, 1.1)
+        nat = native_io.color_jitter(img.astype(np.float32), order,
+                                     fb, fc, fs, hue, gamma, gain)
+        out = img.astype(np.float32)
+        ops = [lambda x: A.adjust_brightness(x, fb),
+               lambda x: A.adjust_contrast(x, fc),
+               lambda x: A.adjust_saturation(x, fs),
+               lambda x: A.adjust_hue(x, hue)]
+        for i in order:
+            out = ops[i](out)
+        out = A.adjust_gamma(out, gamma, gain)
+        diff = np.abs(np.round(nat) - np.round(out))
+        assert diff.max() <= 1.0, (seed, diff.max())
+        assert (diff > 0).mean() < 0.02  # disagreements are rare rounding ties
+
+
+def test_temporal_augmentor_rejects_do_flip(rng):
+    """Temporal augmentors refuse do_flip (flips invalidate carried poses;
+    the reference accepts the flag and silently never flips,
+    augmentor.py:288-531 has no flip block)."""
+    import pytest as _pytest
+
+    for cls in (TemporalFlowAugmentor, TemporalSparseFlowAugmentor):
+        with _pytest.raises(ValueError, match="do_flip"):
+            cls(crop_size=(64, 96), do_flip="h")
+    with _pytest.raises(ValueError, match="do_flip"):
+        TemporalFlowAugmentor(crop_size=(64, 96), do_flip="bogus")
+
+
+def test_yjitter_right_row_offset(rng):
+    """yjitter crops the right image at a ±2px row offset against the
+    left/flow crop (reference augmentor.py:417-431). Verified by feeding a
+    row-index ramp as the right image: the cropped right rows differ from
+    the left crop origin by exactly the jitter."""
+    aug = TemporalFlowAugmentor(crop_size=(64, 96), yjitter=True)
+    aug.spatial_aug_prob = 0.0  # keep pixels unresized so rows are readable
+    T, h, w = 2, 100, 140
+    ramp = np.broadcast_to(
+        np.arange(h, dtype=np.float32)[None, :, None, None], (T, h, w, 3)
+    ).astype(np.float32).copy()
+    flow = -np.ones((T, h, w, 1), np.float32)
+    valid = np.ones((T, h, w, 1), np.float32)
+    K = np.array([[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]])
+    seen = set()
+    for seed in range(40):
+        s1, s2, f, v, K2 = aug.spatial_transform(
+            ramp, ramp, flow, valid, K.copy(), np.random.default_rng(seed)
+        )
+        assert s1.shape == (T, 64, 96, 3) and s2.shape == (T, 64, 96, 3)
+        y_left = float(s1[0, 0, 0, 0])
+        y_right = float(s2[0, 0, 0, 0])
+        # K shift records the LEFT crop origin, with the 2px safety margin.
+        y0 = h / 2 - K2[1, 2]
+        assert 2 <= y_left <= h - 64 - 3
+        assert y0 == y_left
+        seen.add(round(y_right - y_left))
+    # jitter must actually vary, within ±2 rows
+    assert len(seen) > 1
+    assert all(-2 <= d <= 2 for d in seen)
+    assert any(d != 0 for d in seen)
+
+
+def test_single_pair_flips(rng):
+    """do_flip semantics in the single-pair augmentors
+    (reference augmentor.py:106-124)."""
+    from tcs_tpu.data.augmentor import FlowAugmentor, SparseFlowAugmentor
+
+    h, w = 80, 120
+    img1 = rng.integers(0, 255, size=(1, h, w, 3)).astype(np.float32)
+    img2 = rng.integers(0, 255, size=(1, h, w, 3)).astype(np.float32)
+    flow = -rng.uniform(0, 30, size=(1, h, w, 1)).astype(np.float32)
+    valid = np.ones((1, h, w, 1), np.float32)
+    valid[:, :, ::4] = 0.0
+
+    # 'hf': both flipped horizontally, x-flow negated, valid flipped.
+    aug = FlowAugmentor(crop_size=(64, 96), do_flip="hf")
+    aug.h_flip_prob = 1.0
+    s1, s2, f, v = aug.flip_transform(img1, img2, flow, valid,
+                                      np.random.default_rng(0))
+    np.testing.assert_array_equal(s1, img1[:, :, ::-1])
+    np.testing.assert_array_equal(s2, img2[:, :, ::-1])
+    np.testing.assert_array_equal(f, -flow[:, :, ::-1])
+    np.testing.assert_array_equal(v, valid[:, :, ::-1])
+
+    # 'h': stereo swap — new left = flipped right, flow untouched.
+    aug = SparseFlowAugmentor(crop_size=(64, 96), do_flip="h")
+    aug.h_flip_prob = 1.0
+    s1, s2, f, v = aug.flip_transform(img1, img2, flow, valid,
+                                      np.random.default_rng(0))
+    np.testing.assert_array_equal(s1, img2[:, :, ::-1])
+    np.testing.assert_array_equal(s2, img1[:, :, ::-1])
+    np.testing.assert_array_equal(f, flow)
+
+    # 'v': vertical flip of everything (y-flow is identically zero here).
+    aug = FlowAugmentor(crop_size=(64, 96), do_flip="v")
+    aug.v_flip_prob = 1.0
+    s1, s2, f, v = aug.flip_transform(img1, img2, flow, valid,
+                                      np.random.default_rng(0))
+    np.testing.assert_array_equal(s1, img1[:, ::-1])
+    np.testing.assert_array_equal(f, flow[:, ::-1])
+    np.testing.assert_array_equal(v, valid[:, ::-1])
+
+    # prob 0 → identity
+    aug = FlowAugmentor(crop_size=(64, 96), do_flip="hf")
+    aug.h_flip_prob = 0.0
+    s1, s2, f, v = aug.flip_transform(img1, img2, flow, valid,
+                                      np.random.default_rng(0))
+    np.testing.assert_array_equal(s1, img1)
+
+    # end-to-end through augment_pair (flip inside the spatial pipeline)
+    aug = FlowAugmentor(crop_size=(64, 96), do_flip="hf")
+    aug.h_flip_prob = 1.0
+    o1, o2, of, ov, K2 = aug.augment_pair(
+        img1[0].astype(np.uint8), img2[0].astype(np.uint8), flow[0],
+        rng=np.random.default_rng(1),
+    )
+    assert o1.shape == (64, 96, 3) and of.shape == (64, 96, 1)
+    assert (of > 0).mean() > 0.9  # negated x-flow is now positive
+
+
 def test_eraser_consistent_across_frames(rng):
     aug = TemporalFlowAugmentor(crop_size=(64, 96))
     seq1, seq2, flow, valid, K = make_seq(rng, T=3)
@@ -264,6 +398,86 @@ def test_loader_batching_sharding(fake_tartanair):
     i0 = l0._epoch_indices()
     i1 = l1._epoch_indices()
     assert len(set(map(int, i0)) & set(map(int, i1))) <= 0  # disjoint (8 % 2 == 0)
+
+
+def test_loader_workers_deterministic(fake_tartanair):
+    """num_workers must change throughput only — identical batches in the
+    same order for 1 vs 4 workers (sample RNG is keyed by
+    (seed, epoch, global_index), never by worker identity)."""
+    kws = tartanair_test_keywords()
+    ds = TartanAir({"crop_size": (64, 96), "min_scale": -0.2,
+                    "max_scale": 0.4, "do_flip": False, "yjitter": False},
+                   root=fake_tartanair, test_keywords=kws,
+                   mode="temporal", frame_sample_length=2) * 8
+    l1 = SequenceLoader(ds, batch_size=2, seed=1, num_workers=1, prefetch=2)
+    l4 = SequenceLoader(ds, batch_size=2, seed=1, num_workers=4, prefetch=2)
+    l1.set_epoch(3)
+    l4.set_epoch(3)
+    b1 = list(l1)
+    b4 = list(l4)
+    assert len(b1) == len(b4) == 4
+    for a, b in zip(b1, b4):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_loader_worker_error_propagates(fake_tartanair):
+    kws = tartanair_test_keywords()
+    ds = TartanAir({"crop_size": (64, 96), "min_scale": -0.2,
+                    "max_scale": 0.4, "do_flip": False, "yjitter": False},
+                   root=fake_tartanair, test_keywords=kws,
+                   mode="temporal", frame_sample_length=2) * 4
+
+    class Boom(Exception):
+        pass
+
+    orig = ds.load_sample
+    calls = []
+
+    def failing(idx, rng):
+        calls.append(idx)
+        if len(calls) == 3:
+            raise Boom("decode failed")
+        return orig(idx, rng)
+
+    ds.load_sample = failing
+    loader = SequenceLoader(ds, batch_size=2, seed=1, num_workers=4)
+    with pytest.raises(Boom):
+        list(loader)
+
+
+def test_sharded_eval_matches_serial(fake_tartanair):
+    """validate_tartanair over the 8-device CPU mesh produces the same
+    metrics as the single-device streaming path (sequences sharded over the
+    mesh, one stream per device — reference nn.DataParallel analogue,
+    evaluate_stereo.py:392)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tcs_tpu.config import ModelConfig
+    from tcs_tpu.evaluate import validate_tartanair
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.parallel import mesh as mesh_lib
+
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32")
+    model = TCStereo(cfg=cfg)
+    state0 = TemporalState.zeros(1, 64, 96, cfg)
+    cam = CameraParams(K=jnp.eye(3)[None], baseline=jnp.ones((1,)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)),
+                        jnp.zeros((1, 64, 96, 3)), state0, cam,
+                        jnp.eye(4)[None], iters=1, test_mode=True)
+
+    kw = dict(iters=1, root=fake_tartanair, max_sequences=2, max_frames=3)
+    serial = validate_tartanair(model, params, cfg, **kw)
+    mesh = mesh_lib.create_mesh(jax.devices()[:8])
+    sharded = validate_tartanair(model, params, cfg, mesh=mesh, **kw)
+    assert serial.keys() == sharded.keys()
+    for k in serial:
+        np.testing.assert_allclose(sharded[k], serial[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
 
 
 # ---------------------------------------------------------------------------
