@@ -34,16 +34,17 @@ logger = logging.getLogger(__name__)
 
 class Trainer:
     def __init__(self, cfg: TrainConfig, use_wandb: bool = False,
-                 debug_nans: bool = False):
+                 debug_nans: bool = False, devices=None):
         self.cfg = cfg
         self.model = TCStereo(cfg=cfg.model)
         if debug_nans:
             from tcs_tpu.utils.debug import enable_nan_checks
 
             enable_nan_checks(True)
-        self.mesh = mesh_lib.create_mesh()
+        self.devices = list(devices) if devices is not None else jax.devices()
+        self.mesh = mesh_lib.create_mesh(self.devices)
         self.n_shards = jax.process_count()
-        self.global_batch = cfg.batch_size * len(jax.devices())
+        self.global_batch = cfg.batch_size * len(self.devices)
         self.ckpt = CheckpointManager(
             os.path.join(cfg.checkpoint_dir, cfg.name)
         )
@@ -107,11 +108,12 @@ class Trainer:
         # Per-process shard of the global batch (DistributedSampler analogue).
         loader = SequenceLoader(
             dataset,
-            batch_size=cfg.batch_size * jax.local_device_count(),
+            batch_size=cfg.batch_size * (len(self.devices)
+                                         // jax.process_count()),
             seed=cfg.seed,
             shard_id=jax.process_index(),
             num_shards=jax.process_count(),
-            num_workers=2,
+            num_workers=cfg.num_workers,
         )
 
         total_steps = int(ts.step)
@@ -145,7 +147,8 @@ class Trainer:
                     ts, metrics = train_step(ts, batch)
                     self.logger.push(metrics)
                     total_steps += 1
-                    if not detector.update(metrics):
+                    healthy = detector.update(metrics)
+                    if not healthy:
                         logger.error(
                             "divergence detected at step %d; restoring last "
                             "checkpoint", total_steps)
@@ -167,7 +170,12 @@ class Trainer:
                         return ts
 
                     if total_steps % cfg.validation_frequency == cfg.validation_frequency - 1:
-                        if jax.process_index() == 0:
+                        # Never checkpoint an unhealthy state: a NaN/diverged
+                        # save would poison the divergence-restore path (and
+                        # resume). Only states with a clean detector record
+                        # since the last bad step are persisted.
+                        if (jax.process_index() == 0 and healthy
+                                and detector.consecutive_bad == 0):
                             self.ckpt.save(total_steps, ts)
                         if validate_fn is not None:
                             results = validate_fn(self.model, ts.params,
