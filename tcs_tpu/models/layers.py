@@ -175,9 +175,17 @@ class Conv(nn.Module):
             name="Conv_0",
         )
         if self.s2d > 1:
-            assert self.dual == 1, "s2d and dual packing don't compose usefully"
-            assert self.stride == 1 and pad == self.kernel // 2, (
-                "s2d conv supports stride-1 'same' convs only")
+            # ValueError (not assert) so unsupported configs fail with an
+            # actionable message even under `python -O`.
+            if self.dual != 1:
+                raise ValueError(
+                    f"Conv: s2d={self.s2d} does not compose with dual="
+                    f"{self.dual} channel packing; use one or the other")
+            if self.stride != 1 or pad != self.kernel // 2:
+                raise ValueError(
+                    f"Conv: s2d={self.s2d} supports stride-1 'same' convs "
+                    f"only (got stride={self.stride}, padding={pad}, "
+                    f"kernel={self.kernel})")
             return self._apply_s2d(m, x, ci)
         if self.dual == 1:
             return m(x)
@@ -243,7 +251,11 @@ class Conv(nn.Module):
                                                  s * s * co)
 
         B, H, W, _ = x.shape
-        assert H % s == 0 and W % s == 0, (H, W, s)
+        if H % s != 0 or W % s != 0:
+            raise ValueError(
+                f"Conv: s2d={s} needs H and W divisible by {s}, got "
+                f"{H}x{W}. Pad the input (e.g. InputPadder with divis_by a "
+                f"multiple of 4*{s}) or disable conv1_s2d for this shape.")
         Hs, Ws = H // s, W // s
         xs = x.reshape(B, Hs, s, Ws, s, ci).transpose(0, 1, 3, 2, 4, 5)
         xs = xs.reshape(B, Hs, Ws, s * s * ci)

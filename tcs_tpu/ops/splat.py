@@ -149,7 +149,12 @@ def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
         assert metric is not None
         weight = jnp.exp(metric)
 
-    if backend == "xla_aligned" and values.shape[-1] % 128 == 1:
+    # The aligned split only applies to the fp32 combined splat (disparity +
+    # 128-multiple feature block in one call, C % 128 == 1 with C > 1); a
+    # 1-channel splat would take a degenerate empty-feature branch, and
+    # feature-only C % 128 == 0 splats fall through to the plain scatter.
+    if (backend == "xla_aligned" and values.shape[-1] > 1
+            and values.shape[-1] % 128 == 1):
         # Lane-aligned split: the stacked (C+1)-channel scatter rows are not a
         # multiple of the 128-lane tile (258 floats for disp+fmap+weight), so
         # every scattered row straddles tile boundaries. Scatter the
