@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Synthetic convergence artifact: a few hundred real train steps on the
+synthetic constant-disparity scenes, recording loss + full-res EPE per step.
+
+This is the end-to-end correctness signal available without datasets or
+released checkpoints: the synthetic right view is the left view shifted by
+an exact integer disparity (tcs_tpu/data/synthetic.py), so a correct
+model + loss + optimizer stack must drive EPE toward zero. The run writes a
+step-by-step jsonl curve and asserts the final EPE; the committed artifact
+is docs/convergence_synthetic.md (regenerate with this one command):
+
+  python scripts/convergence_synthetic.py --steps 300 \
+      --out docs/convergence_synthetic
+
+Uses the real TCStereo model, losses, BPTT train step and AdamW+OneCycle
+schedule — only the data is synthetic.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--scenes", type=int, default=8)
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--epe-target", type=float, default=1.0,
+                   help="final train-window EPE (px, full-res) to assert")
+    p.add_argument("--out", default=None,
+                   help="basename for .jsonl and .md artifacts")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.data.loader import SequenceLoader
+    from tcs_tpu.data.synthetic import SyntheticStereoSequence
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.train import make_optimizer
+    from tcs_tpu.train.train_step import (SequenceBatch, TrainState,
+                                          make_train_step)
+
+    H, W = args.height, args.width
+    cfg = TrainConfig(
+        model=ModelConfig(mixed_precision=args.cpu is False,
+                          corr_dtype="float32"),
+        train_iters=args.iters, batch_size=1, image_size=(H, W),
+        frame_length=2, num_steps=args.steps, lr=args.lr,
+        remat_frames=False,
+    )
+    model = TCStereo(cfg=cfg.model)
+    ds = SyntheticStereoSequence(n_samples=args.scenes, frame_length=2,
+                                 height=H, width=W)
+    loader = SequenceLoader(ds, batch_size=1, seed=0, num_workers=2,
+                            drop_last=True)
+
+    def to_batch(np_batch):
+        return SequenceBatch(**{k: jnp.asarray(np_batch[k]) for k in
+                                ("image1", "image2", "flow", "valid", "T",
+                                 "K", "baseline")})
+
+    first = to_batch(next(iter(loader)))
+    state0 = TemporalState.zeros(1, H, W, cfg.model)
+    cam = CameraParams(K=first.K, baseline=first.baseline)
+    params = model.init(jax.random.PRNGKey(0), first.image1[:, 0],
+                        first.image2[:, 0], state0, cam, first.T[:, 0],
+                        iters=args.iters, test_mode=False)
+    ts = TrainState.create(apply_fn=model.apply, params=params,
+                           tx=make_optimizer(cfg))
+    step = make_train_step(model, cfg, donate=False)
+
+    rows = []
+    t0 = time.time()
+    n = 0
+    epoch = 0
+    while n < args.steps:
+        epoch += 1
+        loader.set_epoch(epoch)
+        for np_batch in loader:
+            ts, metrics = step(ts, to_batch(np_batch))
+            n += 1
+            rows.append({
+                "step": n,
+                "loss": float(np.asarray(metrics["live_loss"])),
+                "epe": float(np.asarray(metrics["epe"])),
+                "grad_norm": float(np.asarray(metrics["grad_norm"])),
+            })
+            if n == 1 or n % 25 == 0:
+                print(f"step {n:4d}: loss {rows[-1]['loss']:8.3f} "
+                      f"epe {rows[-1]['epe']:7.3f} px "
+                      f"({(time.time() - t0) / n:.2f} s/step)",
+                      file=sys.stderr, flush=True)
+            if n >= args.steps:
+                break
+
+    def window(lo, hi):
+        sel = [r["epe"] for r in rows[lo:hi]]
+        return float(np.mean(sel))
+
+    k = max(args.steps // 10, 1)
+    first_epe, final_epe = window(0, k), window(len(rows) - k, len(rows))
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out + ".jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        with open(args.out + ".md", "w") as f:
+            f.write(
+                "# Synthetic convergence curve\n\n"
+                f"`python scripts/convergence_synthetic.py --steps "
+                f"{args.steps} --out {args.out}`\n\n"
+                f"Real train step (TCStereo {args.iters} GRU iters, BPTT "
+                f"frame_length 2, AdamW+OneCycle lr {args.lr}) on "
+                f"{args.scenes} synthetic constant-disparity scenes at "
+                f"{H}x{W}; full-resolution EPE from the training metrics "
+                f"(losses.py sequence_loss), batch 1.\n\n"
+                "| steps | mean EPE (px) | mean loss |\n|---|---|---|\n")
+            for lo in range(0, args.steps, max(args.steps // 12, 1)):
+                hi = min(lo + max(args.steps // 12, 1), len(rows))
+                f.write(f"| {lo + 1}-{hi} | {window(lo, hi):.3f} | "
+                        f"{float(np.mean([r['loss'] for r in rows[lo:hi]])):.3f} |\n")
+            f.write(f"\nfirst-{k} EPE {first_epe:.3f} px → last-{k} EPE "
+                    f"**{final_epe:.3f} px** "
+                    f"(target < {args.epe_target} px)\n")
+        print(f"wrote {args.out}.jsonl and {args.out}.md", file=sys.stderr)
+
+    print(json.dumps({"metric": "synthetic_final_epe", "value":
+                      round(final_epe, 3), "unit": "px",
+                      "first_window_epe": round(first_epe, 3),
+                      "steps": args.steps}))
+    assert final_epe < args.epe_target, (
+        f"synthetic EPE did not converge: {final_epe:.3f} px "
+        f"(target {args.epe_target})")
+    print(f"CONVERGENCE OK: EPE {first_epe:.2f} -> {final_epe:.3f} px",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
