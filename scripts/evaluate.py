@@ -24,6 +24,9 @@ def main():
     p.add_argument("--data_root", default="datasets")
     p.add_argument("--valid_iters", type=int, default=5)
     p.add_argument("--max_sequences", type=int, default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="distribute sequences over all devices (one stream "
+                        "per device; reference nn.DataParallel analogue)")
     args = p.parse_args()
 
     if args.restore_ckpt:
@@ -66,14 +69,22 @@ def main():
             params = CheckpointManager(args.restore_ckpt).restore_params_only(params)
         print(f"Loaded checkpoint {args.restore_ckpt}")
 
+    mesh = None
+    if args.sharded and len(jax.devices()) > 1:
+        from tcs_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.create_mesh()
+        print(f"sharded eval over {len(jax.devices())} devices")
+
     if args.dataset == "TartanAir":
         ev.validate_tartanair(model, params, cfg, iters=args.valid_iters,
                               root=args.data_root,
-                              max_sequences=args.max_sequences)
+                              max_sequences=args.max_sequences, mesh=mesh)
     elif args.dataset == "things":
         ev.validate_temporal_things(model, params, cfg, iters=args.valid_iters,
                                     root=args.data_root,
-                                    max_sequences=args.max_sequences)
+                                    max_sequences=args.max_sequences,
+                                    mesh=mesh)
     else:
         ev.submit_kitti(model, params, cfg, iters=args.valid_iters,
                         root=f"{args.data_root}/KITTI")
