@@ -30,6 +30,10 @@ def main():
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="loader decode threads per process")
+    p.add_argument("--yjitter", action="store_true", default=None,
+                   help="±2px right-image row jitter at crop time")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--validate", action="store_true",
                    help="run the recipe's validation every 10k steps")
@@ -53,7 +57,7 @@ def main():
     cfg = RECIPES[args.recipe]()
     overrides = {}
     for key in ("data_root", "checkpoint_dir", "restore_ckpt", "num_steps",
-                "batch_size", "lr"):
+                "batch_size", "lr", "num_workers", "yjitter"):
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
