@@ -18,8 +18,12 @@ at KITTI resolution). BASELINE.json's north star is ≥2× frames/s/chip.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcs_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 

@@ -35,10 +35,16 @@ backward. Forward leaf ops are ~435 ms/step.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# Persistent compile cache: the TartanAir-recipe step compiles in ~200 s on
+# the benching host; cache hits make iterate-and-measure loops tractable.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcs_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 
@@ -73,6 +79,10 @@ def main():
                         "'' = save nothing (plain full-frame remat)")
     p.add_argument("--scan-unroll", type=int, default=5,
                    help="unroll factor of the GRU-iteration scan")
+    p.add_argument("--frames", type=int, default=None,
+                   help="override the recipe's frame_length")
+    p.add_argument("--size", type=int, nargs=2, default=None,
+                   help="override the recipe's H W")
     p.add_argument("--lookup-backend", default=None,
                    help="override ModelConfig.lookup_backend (e.g. "
                         "onehot_w2major_vjp: hand-written linear VJP, no "
@@ -92,6 +102,10 @@ def main():
 
     sh = SHAPES[args.recipe]
     B, H, W, T_len = args.batch, sh["H"], sh["W"], sh["T"]
+    if args.size is not None:
+        H, W = args.size
+    if args.frames is not None:
+        T_len = args.frames
     dev = jax.devices()[0]
     print(f"train bench on {dev}: B={B} {H}x{W} frames={T_len} "
           f"iters={args.iters}", file=sys.stderr)
