@@ -576,9 +576,67 @@ class Middlebury(StereoSequenceDataset):
 # ---------------------------------------------------------------------------
 
 
+class SinglePairAsSequence:
+    """Adapter: a single-pair dataset served as T=1 temporal sequences.
+
+    The temporal model's first-frame path IS single-frame stereo (cost-volume
+    argmax bootstrap, no pose warp), so single-pair datasets (Sintel,
+    FallingThings, Middlebury, ETH3D — reference fetch_dataloader's
+    single-frame mixtures, stereo_datasets.py:666-702) train through the
+    same jitted frame-scan step with ``frame_length=1``. Pose is identity
+    and K/baseline are nominal: neither is consumed on the first frame.
+
+    Unlike the base class's ``__add__`` (which merges file lists under ONE
+    reader — fine for same-class mixes like SceneFlow clean+final), this
+    adapter concatenates whole datasets, so each keeps its own disparity
+    reader and sparse/dense augmentor (torch ConcatDataset semantics).
+    """
+
+    def __init__(self, *datasets: StereoSequenceDataset,
+                 baseline: float = 1.0):
+        self.parts = list(datasets)
+        self.baseline = baseline
+
+    def __len__(self):
+        return sum(len(p) for p in self.parts)
+
+    def __mul__(self, v: int):
+        return SinglePairAsSequence(*(self.parts * v),
+                                    baseline=self.baseline)
+
+    def __add__(self, other: "SinglePairAsSequence"):
+        return SinglePairAsSequence(*self.parts, *other.parts,
+                                    baseline=self.baseline)
+
+    def load_sample(self, index, rng):
+        for p in self.parts:
+            if index < len(p):
+                break
+            index -= len(p)
+        s = p.load_pair(index, rng)
+        H, W = s["image1"].shape[:2]
+        K = np.array([[1000.0, 0.0, W / 2], [0.0, 1000.0, H / 2],
+                      [0.0, 0.0, 1.0]], np.float32)
+        return {
+            "image1": s["image1"][None],
+            "image2": s["image2"][None],
+            "flow": s["flow"][None],
+            "valid": s["valid"][None],
+            "T": np.eye(4, dtype=np.float32)[None],
+            "K": K,
+            "baseline": np.float32(self.baseline),
+        }
+
+
 def fetch_dataset(cfg) -> StereoSequenceDataset:
     """Build the training dataset mixture for a TrainConfig
-    (reference ``fetch_dataloader``, stereo_datasets.py:659-736)."""
+    (reference ``fetch_dataloader``, stereo_datasets.py:659-736).
+
+    Temporal recipes: 'sceneflow' (clean×4 + final×4), 'TartanAir' (×100),
+    'kitti_raw'. Single-pair mixtures (reference single-frame branch) are
+    available with frame_length=1 via '+'-separated names:
+    'sintel_stereo' (×140), 'falling_things' (×5), 'middlebury_<split>',
+    'eth3d' — e.g. train_dataset='sintel_stereo+falling_things'."""
     aug_params = {
         "crop_size": cfg.image_size,
         "min_scale": cfg.spatial_scale[0],
@@ -611,6 +669,37 @@ def fetch_dataset(cfg) -> StereoSequenceDataset:
         ds = KITTIraw(aug_params, root=osp.join(root, "kitti_raw"),
                       mode="temporal", frame_sample_length=cfg.frame_length)
     else:
-        raise NotImplementedError(f"dataset {name}")
+        # Single-pair mixture (reference single-frame branch,
+        # stereo_datasets.py:666-702): '+'-separated names, frame_length 1.
+        parts = name.split("+")
+        builders = {
+            "sintel_stereo": lambda: SinglePairAsSequence(
+                SintelStereo(dict(aug_params),
+                             root=osp.join(root, "SintelStereo")) * 140),
+            "falling_things": lambda: SinglePairAsSequence(
+                FallingThings(dict(aug_params),
+                              root=osp.join(root, "FallingThings")) * 5),
+            "eth3d": lambda: SinglePairAsSequence(
+                ETH3D(dict(aug_params), root=osp.join(root, "ETH3D"))),
+        }
+
+        def build(part):
+            if part in builders:
+                return builders[part]()
+            if part.startswith("middlebury_"):
+                return SinglePairAsSequence(
+                    Middlebury(dict(aug_params),
+                               root=osp.join(root, "Middlebury"),
+                               split=part.replace("middlebury_", "")))
+            raise NotImplementedError(f"dataset {part}")
+
+        if cfg.frame_length != 1:
+            raise ValueError(
+                f"single-pair dataset mixture {name!r} requires "
+                f"frame_length=1 (got {cfg.frame_length}); the pairs carry "
+                "no poses to warp across frames")
+        ds = build(parts[0])
+        for part in parts[1:]:
+            ds = ds + build(part)
     logger.info("Training with %d sequence samples", len(ds))
     return ds

@@ -447,6 +447,72 @@ def test_loader_worker_error_propagates(fake_tartanair):
         list(loader)
 
 
+def test_single_pair_as_sequence_adapter(tmp_path, rng):
+    """Single-pair datasets train as T=1 sequences through the same loader
+    (reference single-frame mixtures, stereo_datasets.py:666-702); the
+    concat keeps each part's own reader."""
+    from tcs_tpu.data.datasets import (SinglePairAsSequence,
+                                       StereoSequenceDataset)
+
+    def make_pair_ds(subdir, reader, n=2, sparse=False):
+        d = tmp_path / subdir
+        d.mkdir()
+        ds = StereoSequenceDataset(
+            {"crop_size": (48, 64), "min_scale": -0.2, "max_scale": 0.2,
+             "do_flip": False, "yjitter": False},
+            sparse=sparse,
+        )
+        for i in range(n):
+            img = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+            p1, p2 = str(d / f"l{i}.png"), str(d / f"r{i}.png")
+            Image.fromarray(img).save(p1)
+            Image.fromarray(img).save(p2)
+            disp = (rng.uniform(0, 30, size=(80, 100)) * 256).astype(np.uint16)
+            pd = str(d / f"d{i}.png")
+            Image.fromarray(disp).save(pd)
+            ds.image_list.append([p1, p2])
+            ds.disparity_list.append(pd)
+        ds.disparity_reader = reader
+        return ds
+
+    calls = {"a": 0, "b": 0}
+
+    def reader_a(p):
+        calls["a"] += 1
+        return frame_utils.readDispKITTI(p)
+
+    def reader_b(p):
+        calls["b"] += 1
+        return frame_utils.readDispKITTI(p)
+
+    a = SinglePairAsSequence(make_pair_ds("a", reader_a, sparse=True))
+    b = SinglePairAsSequence(make_pair_ds("b", reader_b))
+    mix = a * 2 + b
+    assert len(mix) == 6
+    s = mix.load_sample(0, np.random.default_rng(0))
+    assert s["image1"].shape == (1, 48, 64, 3)
+    assert s["T"].shape == (1, 4, 4) and s["K"].shape == (3, 3)
+    mix.load_sample(5, np.random.default_rng(0))  # falls into part b
+    assert calls["a"] == 1 and calls["b"] == 1
+
+    # loader batches T=1 sequences like any temporal dataset
+    loader = SequenceLoader(mix, batch_size=2, seed=0, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["image1"].shape == (2, 1, 48, 64, 3)
+    assert batch["T"].shape == (2, 1, 4, 4)
+
+    # fetch_dataset refuses single-pair mixtures with frame_length > 1
+    import dataclasses
+
+    from tcs_tpu.config import TrainConfig
+    from tcs_tpu.data.datasets import fetch_dataset
+
+    cfg = dataclasses.replace(TrainConfig(), train_dataset="sintel_stereo",
+                              frame_length=2, data_root=str(tmp_path))
+    with pytest.raises(ValueError, match="frame_length"):
+        fetch_dataset(cfg)
+
+
 def test_sharded_eval_matches_serial(fake_tartanair):
     """validate_tartanair over the 8-device CPU mesh produces the same
     metrics as the single-device streaming path (sequences sharded over the
