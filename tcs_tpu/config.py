@@ -162,8 +162,12 @@ class TrainConfig:
     # 'frame_mid' additionally saves the tiny completor / warp-path outputs
     # that gate the splat + pinhole-geometry recompute (<30 MB/frame):
     # 1670.6 → 1638.1 ms/step.
+    # 'loss_gt' saves the GT-side loss tensors (median-pooled gradients /
+    # normals, init-loss index/band masks) — pure data with no gradients,
+    # so replaying their computation is waste: 1795.8 → 1777.8 ms/step at
+    # the exact 480×640 recipe crop.
     remat_save_names: Tuple[str, ...] = ("iter_carry", "iter_consts",
-                                         "frame_mid")
+                                         "frame_mid", "loss_gt")
     # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.

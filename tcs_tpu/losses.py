@@ -19,6 +19,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from tcs_tpu.geometry import disp2disp_normal_xy
 from tcs_tpu.ops.sampler import (
@@ -147,12 +148,16 @@ def init_loss(cost_volume, flow_gt, valid, max_flow: float = 700.0, k: int = 1,
     in_range = (index_gt >= 0) & (index_gt <= W2 - 1)
     mask = in_range & valid_q
     index_gt = jnp.clip(index_gt, 0, W2 - 1)
+    # GT-side (no gradients flow into the index/mask/band — only into the
+    # cost volume through the gathers): saved under frame remat.
+    index_gt = checkpoint_name(index_gt, "loss_gt")
+    mask = checkpoint_name(mask, "loss_gt")
     phi_gt = phi(index_gt)  # (B,h,w,1)
     gt_loss = 1.0 - masked_mean(phi_gt, mask)
 
     j = jax.lax.broadcasted_iota(jnp.float32, (B, h, w, W2), 3)
     band = (j >= index_gt - 1.5) & (j < index_gt + 1.5)
-    suppress = band | (~mask)
+    suppress = checkpoint_name(band | (~mask), "loss_gt")
     cv_nm = jnp.where(suppress, 0.0, cost_volume)
     cost_nm = _topk_values(cv_nm, k)  # (B,h,w,k)
     hinge = jnp.clip(
@@ -184,12 +189,15 @@ def disp_normal_loss(flow_q_preds, disp_norm_gt, valid, weights,
     flow_q_seq, flow_refine_seq = flow_q_preds
     n = flow_q_seq.shape[0]
     gt = median_pool(disp_norm_gt, int(round(1.0 / scale)))  # (B,h,w,3)
+    # GT-side, gradient-free: saved under frame remat (see train_step
+    # frame_losses) so the replay skips the median selection networks.
+    gt = checkpoint_name(gt, "loss_gt")
     mask = (gt[..., 0:1] / gt[..., 2:3] < 5) & (gt[..., 1:2] / gt[..., 2:3] < 5)
     if dense_gt:
         v = max_pool(valid.astype(jnp.float32), 4, 4, 0) > 0
     else:
         v = resize_bilinear(valid.astype(jnp.float32), gt.shape[1:3]) == 1.0
-    v = v & mask
+    v = checkpoint_name(v & mask, "loss_gt")
 
     def one_term(flow_q):
         disp = -flow_q
@@ -216,12 +224,13 @@ def disp_grad_loss(disp_grad_preds, disp_grad_gt, valid, weights,
       valid: (B, H, W, 1).
     """
     gt = median_pool(disp_grad_gt, int(round(1.0 / scale)))
+    gt = checkpoint_name(gt, "loss_gt")  # GT-side, gradient-free
     mask = (gt[..., 0:1] < 5) & (gt[..., 1:2] < 5)
     if dense_gt:
         v = max_pool(valid.astype(jnp.float32), 4, 4, 0) > 0
     else:
         v = resize_bilinear(valid.astype(jnp.float32), gt.shape[1:3]) == 1.0
-    v = v & mask
+    v = checkpoint_name(v & mask, "loss_gt")
 
     i_loss = jnp.mean(
         jnp.abs(disp_grad_preds - gt[None]), axis=-1, keepdims=True

@@ -66,14 +66,23 @@ def frame_losses(out, frame: FrameBatch, cfg: TrainConfig):
     weights = L.loss_weights(out.flow_predictions[0].shape[0], cfg.loss_gamma)
     scale = cfg.model.scale_rate
 
+    from jax.ad_checkpoint import checkpoint_name
+
     mag = jnp.sqrt(jnp.sum(frame.flow ** 2, axis=-1, keepdims=True))
     valid = ((frame.valid >= 0.5) & (mag < 700.0))
+    # GT-side tensors carry no gradients; the 'loss_gt' tags save them under
+    # frame remat so the backward replay skips recomputing the full-res
+    # forward differences / normalisation (and, via the tags inside the loss
+    # functions, the GT median pools and the init-loss band selection).
+    valid = checkpoint_name(valid, "loss_gt")
 
     grad_gt, _ = disp2disp_gradient_xy(-frame.flow)
     norm_gt = jnp.concatenate([grad_gt, -jnp.ones_like(grad_gt[..., :1])], axis=-1)
     norm_gt = norm_gt / jnp.maximum(
         jnp.linalg.norm(norm_gt, axis=-1, keepdims=True), 1e-12
     )
+    grad_gt = checkpoint_name(grad_gt, "loss_gt")
+    norm_gt = checkpoint_name(norm_gt, "loss_gt")
 
     dense_gt = cfg.train_dataset != "kitti_raw"
 
