@@ -224,6 +224,17 @@ class TCStereo(nn.Module):
         B, H, W, _ = image1.shape
         f = cfg.downsample_factor
 
+        # The temporal carry is gradient-stopped where it is PRODUCED
+        # (``new_state`` below; the reference detaches flow_q/net_list/fmap1
+        # before carrying them, tc_stereo.py:221-242), so any cotangent this
+        # frame's backward computes w.r.t. the incoming state is multiplied
+        # by zero one frame earlier. Stopping it on the CONSUMER side as well
+        # changes no gradient value but makes the frame-scan carry cotangent
+        # structurally zero, so XLA dead-code-eliminates the whole chain —
+        # the splat scatter-transpose while-loops and the hidden-warp
+        # bilinear-sampler transposes — from the training backward.
+        state = jax.tree_util.tree_map(jax.lax.stop_gradient, state)
+
         img1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
         img2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
 

@@ -86,6 +86,39 @@ def test_train_step_runs_and_optimizes(train_setup):
     assert int(ts2.step) == 2
 
 
+def test_incoming_state_carries_no_gradient(train_setup):
+    """The temporal carry is gradient-stopped on BOTH sides (produced
+    detached, reference tc_stereo.py:221-242, and stop_gradient'd again on
+    consumption) so the frame-scan backward's carry cotangent is structurally
+    zero — the splat/sampler transposes never run in training. Pin that by
+    differentiating a frame loss w.r.t. a *non-trivial* incoming state."""
+    cfg, model, ts, batch = train_setup
+    from tcs_tpu.train.train_step import FrameBatch, frame_losses
+
+    state = TemporalState.zeros(1, H, W, cfg.model)
+    key = jax.random.PRNGKey(1)
+    state = state.replace(
+        disp_q=jax.random.uniform(key, state.disp_q.shape, maxval=4.0),
+        fmap1=jax.random.normal(key, state.fmap1.shape),
+        valid=jnp.asarray(True),
+    )
+    cam = CameraParams(K=batch.K, baseline=batch.baseline)
+    frame = FrameBatch(image1=batch.image1[:, 1], image2=batch.image2[:, 1],
+                       flow=batch.flow[:, 1], valid=batch.valid[:, 1],
+                       T=batch.T[:, 1])
+
+    def loss_of_state(st):
+        out = model.apply(ts.params, frame.image1, frame.image2, st, cam,
+                          frame.T, iters=1, test_mode=False)
+        loss, _ = frame_losses(out, frame, cfg)
+        return loss
+
+    g = jax.grad(loss_of_state, allow_int=True)(state)
+    for leaf in jax.tree_util.tree_leaves(
+            (g.disp_q, g.fmap1, g.net_list)):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
+
+
 def test_selective_remat_matches_frame_remat(train_setup):
     """ModelConfig.remat_encoder / remat_iter_cell (selective remat inside
     the frame) must reproduce whole-frame remat losses/gradients — remat is
