@@ -63,6 +63,15 @@ class TemporalState(struct.PyTreeNode):
 
     ``valid`` is a scalar bool: False for the first frame of a sequence
     (state contains zeros / identity pose and the bootstrap path is taken).
+
+    Gradient semantics: the carry is detached on BOTH sides. The producer
+    stop-gradients disp_q/net_list/fmap1 when building ``new_state``
+    (matching the reference's ``.detach()`` carries), and ``TCStereo``
+    additionally stop-gradients the ENTIRE incoming state (including T_prev
+    and any field added later) so the frame-scan carry cotangent is
+    structurally zero and XLA can dead-code-eliminate the temporal-warp
+    backward. If a future field must carry cross-frame gradient (full BPTT,
+    learned pose), both detach points must be made field-selective.
     """
 
     disp_q: jax.Array  # (B, H/f, W/f, 1) previous completed disparity, ≥ 0
