@@ -34,6 +34,18 @@ def main():
                    help="loader decode threads per process")
     p.add_argument("--yjitter", action="store_true", default=None,
                    help="±2px right-image row jitter at crop time")
+    p.add_argument("--train_dataset", default=None,
+                   help="override the recipe's dataset (e.g. 'kitti' for the "
+                        "2015+2012 GT fine-tune, 'sintel_stereo+eth3d' "
+                        "mixtures)")
+    p.add_argument("--single_frame", action="store_true",
+                   help="train single pairs (reference without --temporal): "
+                        "sets temporal=False and frame_length=1")
+    p.add_argument("--frame_length", type=int, default=None)
+    p.add_argument("--image_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"))
+    p.add_argument("--do_flip", default=None, choices=["h", "hf", "v"],
+                   help="single-pair flip augmentation")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--validate", action="store_true",
                    help="run the recipe's validation every 10k steps")
@@ -57,10 +69,16 @@ def main():
     cfg = RECIPES[args.recipe]()
     overrides = {}
     for key in ("data_root", "checkpoint_dir", "restore_ckpt", "num_steps",
-                "batch_size", "lr", "num_workers", "yjitter"):
+                "batch_size", "lr", "num_workers", "yjitter",
+                "train_dataset", "frame_length", "do_flip"):
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
+    if args.image_size is not None:
+        overrides["image_size"] = tuple(args.image_size)
+    if args.single_frame:
+        overrides["temporal"] = False
+        overrides["frame_length"] = 1
     cfg = dataclasses.replace(cfg, **overrides)
 
     from tcs_tpu.train.trainer import Trainer

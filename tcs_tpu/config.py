@@ -123,6 +123,11 @@ class TrainConfig:
     batch_size: int = 4  # per-process batch (reference: per-GPU batch 4)
     image_size: Tuple[int, int] = (320, 720)  # (H, W) random crop
     frame_length: int = 2  # temporal unroll (chunked BPTT window)
+    # Temporal vs single-frame training (reference --temporal flag,
+    # train_stereo.py:472; all three recipes pass it). temporal=False trains
+    # single pairs (T=1, argmax-bootstrap path only): the 'kitti' GT config
+    # and the single_frame modes of sceneflow/TartanAir/kitti_raw.
+    temporal: bool = True
     train_iters: int = 5
     valid_iters: int = 5
     wdecay: float = 1e-5

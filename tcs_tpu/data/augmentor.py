@@ -212,6 +212,40 @@ def _resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out[..., 0] if squeeze else out
 
 
+def resize_sparse_flow_map(flow: np.ndarray, valid: np.ndarray,
+                           fx: float = 1.0, fy: float = 1.0):
+    """Scatter-based resize of a SPARSE flow field (reference
+    ``core/utils/augmentor.py:192-224``).
+
+    A bilinear resize of sparse GT smears defined values into undefined
+    pixels; the reference instead scatters each valid pixel to its scaled
+    (rounded) location and rebuilds the validity mask. Quirks preserved:
+    the in-bounds test is strictly ``> 0`` (drops row/col 0), and colliding
+    pixels resolve last-writer-wins in flattened raster order.
+
+    Args: flow (H,W,1) x-flow, valid (H,W,1) in {0,1}.
+    Returns (flow', valid') with shape (round(H*fy), round(W*fx), 1).
+    """
+    ht, wd = flow.shape[:2]
+    xs, ys = np.meshgrid(np.arange(wd), np.arange(ht))
+    m = valid.reshape(ht, wd) >= 1
+    coords_x = xs[m].astype(np.float32) * fx
+    coords_y = ys[m].astype(np.float32) * fy
+    flow0 = flow.reshape(ht, wd)[m].astype(np.float32) * fx
+
+    ht1 = int(round(ht * fy))
+    wd1 = int(round(wd * fx))
+    xx = np.round(coords_x).astype(np.int32)
+    yy = np.round(coords_y).astype(np.int32)
+    v = (xx > 0) & (xx < wd1) & (yy > 0) & (yy < ht1)
+
+    flow_img = np.zeros([ht1, wd1], dtype=np.float32)
+    valid_img = np.zeros([ht1, wd1], dtype=np.float32)
+    flow_img[yy[v], xx[v]] = flow0[v]
+    valid_img[yy[v], xx[v]] = 1.0
+    return flow_img[..., None], valid_img[..., None]
+
+
 # ---------------------------------------------------------------------------
 # Temporal augmentors
 # ---------------------------------------------------------------------------
@@ -259,6 +293,11 @@ class TemporalFlowAugmentor:
         self.asymmetric_color_aug_prob = 0.2
         self.eraser_aug_prob = 0.5
         self.sparse = False
+        # True sparse GT (single-pair SparseFlowAugmentor) scatters valid
+        # pixels on resize; semi-dense pseudo-labels (temporal sparse) resize
+        # densely with a ==1 test (the reference's own distinction,
+        # augmentor.py:192-224 vs :662-666).
+        self.scatter_resize = False
 
     # -- photometric -------------------------------------------------------
     def color_transform(self, seq1, seq2, rng):
@@ -334,13 +373,22 @@ class TemporalFlowAugmentor:
             K = K * np.array([sx, sy, 1.0]).reshape(3, 1)
             seq1 = np.stack([_resize_bilinear_np(f, out_h, out_w) for f in seq1])
             seq2 = np.stack([_resize_bilinear_np(f, out_h, out_w) for f in seq2])
-            flow = np.stack([_resize_bilinear_np(f, out_h, out_w) for f in flow])
-            flow = flow * sx  # x-flow only
-            if self.sparse:
-                valid = np.stack(
-                    [_resize_bilinear_np(v, out_h, out_w) for v in valid]
+            if self.sparse and self.scatter_resize:
+                # true sparse GT: scatter valid pixels (reference :242,192)
+                pairs = [resize_sparse_flow_map(f, v, fx=sx, fy=sy)
+                         for f, v in zip(flow, valid)]
+                flow = np.stack([p[0] for p in pairs])
+                valid = np.stack([p[1] for p in pairs])
+            else:
+                flow = np.stack(
+                    [_resize_bilinear_np(f, out_h, out_w) for f in flow]
                 )
-                valid = (valid == 1.0).astype(np.float32)
+                flow = flow * sx  # x-flow only
+                if self.sparse:
+                    valid = np.stack(
+                        [_resize_bilinear_np(v, out_h, out_w) for v in valid]
+                    )
+                    valid = (valid == 1.0).astype(np.float32)
 
         seq1, seq2, flow, valid = self.flip_transform(seq1, seq2, flow,
                                                       valid, rng)
@@ -419,7 +467,23 @@ class FlowAugmentor(TemporalFlowAugmentor):
 
 
 class SparseFlowAugmentor(TemporalSparseFlowAugmentor):
+    """Single-pair TRUE-sparse GT (KITTI 2015/2012 labels — reference
+    ``SparseFlowAugmentor``, augmentor.py:153-287): flow/valid resized by
+    scattering valid pixels, no stretch (the reference's sparse
+    spatial_transform uses scale_x == scale_y, :235-239)."""
+
     _allow_flip = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.scatter_resize = True
+
+    def _sample_scales(self, H, W, rng):
+        # reference :229-235: isotropic scale, min so the crop(+1) fits
+        min_scale = max((self.crop_size[0] + 1) / H, (self.crop_size[1] + 1) / W)
+        scale = 2 ** rng.uniform(self.min_scale, self.max_scale)
+        s = max(scale, min_scale)
+        return s, s
 
     def augment_pair(self, img1, img2, flow, valid, K=None, rng=None):
         K = np.eye(3) if K is None else K

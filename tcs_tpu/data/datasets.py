@@ -34,6 +34,8 @@ import numpy as np
 
 from tcs_tpu.data import frame_utils
 from tcs_tpu.data.augmentor import (
+    FlowAugmentor,
+    SparseFlowAugmentor,
     TemporalFlowAugmentor,
     TemporalSparseFlowAugmentor,
 )
@@ -57,7 +59,16 @@ class StereoSequenceDataset:
         self.disparity_reader = reader or default_disp_reader
         self.augmentor = None
         if aug_params is not None and "crop_size" in aug_params:
-            cls = TemporalSparseFlowAugmentor if sparse else TemporalFlowAugmentor
+            # Temporal datasets get the sequence-consistent augmentors;
+            # single-pair datasets the flip-capable single-pair ones, with
+            # true-sparse scatter resize in the sparse case (reference
+            # StereoDataset.__init__ makes the same 4-way selection,
+            # stereo_datasets.py:23-29).
+            if temporal:
+                cls = (TemporalSparseFlowAugmentor if sparse
+                       else TemporalFlowAugmentor)
+            else:
+                cls = SparseFlowAugmentor if sparse else FlowAugmentor
             self.augmentor = cls(**aug_params)
 
         self.image_list: List = []  # [(left paths, right paths)] or [[l, r]]
@@ -480,6 +491,7 @@ class KITTIraw(StereoSequenceDataset):
         self.baseline = 0.54
         self.intrinsic_K = []
         L = frame_sample_length
+        single = mode == "single_frame"
         scenes = sorted(glob(osp.join(root, "*")))
         for scene in scenes:  # date dirs
             calib_path = osp.join(scene, "calib_cam_to_cam.txt")
@@ -494,6 +506,15 @@ class KITTIraw(StereoSequenceDataset):
                 K = frame_utils.intrinsics_from_p_rect(
                     frame_utils.read_calib_file(calib_path)["P_rect_02"]
                 )
+                if single:
+                    # flat pairs (the reference's single_frame KITTIraw keeps
+                    # the windowed lists and would crash in its single-pair
+                    # __getitem__ — fixed here by indexing frames flat)
+                    for a, b, d in zip(i1, i2, dl):
+                        self.image_list.append([a, b])
+                        self.disparity_list.append(d)
+                        self.intrinsic_K.append(K)
+                    continue
                 for k in range(len(i1) - L + 1):
                     self.image_list.append([i1[k : k + L], i2[k : k + L]])
                     self.disparity_list.append(dl[k : k + L])
@@ -651,23 +672,50 @@ def fetch_dataset(cfg) -> StereoSequenceDataset:
 
     name = cfg.train_dataset
     root = cfg.data_root
+    temporal = getattr(cfg, "temporal", True)
+    mode = "temporal" if temporal else "single_frame"
+    if not temporal and cfg.frame_length != 1:
+        raise ValueError(
+            f"temporal=False (single-frame training) requires frame_length=1 "
+            f"(got {cfg.frame_length}); single pairs carry no poses to warp "
+            "across frames")
     if name == "sceneflow":
         clean = SceneFlowDatasets(dict(aug_params), root=root,
-                                  dstype="frames_cleanpass", mode="temporal",
+                                  dstype="frames_cleanpass", mode=mode,
                                   frame_sample_length=cfg.frame_length)
         final = SceneFlowDatasets(dict(aug_params), root=root,
-                                  dstype="frames_finalpass", mode="temporal",
+                                  dstype="frames_finalpass", mode=mode,
                                   frame_sample_length=cfg.frame_length)
-        ds = (clean * 4) + (final * 4)
+        if temporal:
+            ds = (clean * 4) + (final * 4)
+        else:
+            ds = SinglePairAsSequence(clean * 4, final * 4, baseline=1.0)
     elif name == "TartanAir":
-        ds = TartanAir(aug_params, root=root,
+        # temporal oversamples ×100; single-frame ×1 (reference :713-716)
+        ta = TartanAir(aug_params, root=root,
                        scene_list=TARTANAIR_VAL_SCENES,
                        test_keywords=tartanair_test_keywords(),
-                       mode="temporal",
-                       frame_sample_length=cfg.frame_length) * 100
+                       mode=mode,
+                       frame_sample_length=cfg.frame_length)
+        ds = ta * 100 if temporal else SinglePairAsSequence(
+            ta, baseline=TARTANAIR_BASELINE)
     elif name == "kitti_raw":
-        ds = KITTIraw(aug_params, root=osp.join(root, "kitti_raw"),
-                      mode="temporal", frame_sample_length=cfg.frame_length)
+        kr = KITTIraw(aug_params, root=osp.join(root, "kitti_raw"),
+                      mode=mode, frame_sample_length=cfg.frame_length)
+        ds = kr if temporal else SinglePairAsSequence(kr, baseline=0.54)
+    elif "kitti" in name:
+        # KITTI 2015+2012 GT fine-tune (reference stereo_datasets.py:691-696;
+        # its temporal KITTI train branch raises NotImplementedError, so this
+        # config is single-frame only).
+        if temporal:
+            raise NotImplementedError(
+                "KITTI 2015/2012 GT training is single-frame only "
+                "(set temporal=False, frame_length=1); temporal KITTI exists "
+                "only as test sequences for submission")
+        ds = SinglePairAsSequence(
+            KITTI(dict(aug_params), root=osp.join(root, "KITTI"),
+                  mode="single_frame"),
+            baseline=0.54)
     else:
         # Single-pair mixture (reference single-frame branch,
         # stereo_datasets.py:666-702): '+'-separated names, frame_length 1.

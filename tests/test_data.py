@@ -173,6 +173,78 @@ def test_sparse_augmentor(rng):
     assert set(np.unique(v)).issubset({0.0, 1.0})
 
 
+def test_resize_sparse_flow_map_upscale_exact(rng):
+    """Integer upscale: each valid pixel lands exactly at (2x, 2y) with flow
+    doubled; the reference's strict >0 in-bounds test drops row/col 0
+    (augmentor.py:210-216 — quirk preserved)."""
+    from tcs_tpu.data.augmentor import resize_sparse_flow_map
+
+    h, w = 8, 10
+    flow = np.zeros((h, w, 1), np.float32)
+    valid = np.zeros((h, w, 1), np.float32)
+    pts = [(0, 3), (2, 0), (2, 5), (5, 7), (7, 9)]
+    for i, (y, x) in enumerate(pts):
+        valid[y, x, 0] = 1.0
+        flow[y, x, 0] = -(i + 1.0)
+    f2, v2 = resize_sparse_flow_map(flow, valid, fx=2.0, fy=2.0)
+    assert f2.shape == (16, 20, 1) and v2.shape == (16, 20, 1)
+    # (0,3) dropped (y*2 == 0 fails the >0 test); (2,0) dropped (x*2 == 0)
+    assert v2.sum() == 3
+    for i, (y, x) in enumerate(pts):
+        if y == 0 or x == 0:
+            continue
+        assert v2[2 * y, 2 * x, 0] == 1.0
+        assert f2[2 * y, 2 * x, 0] == pytest.approx(2.0 * -(i + 1.0))
+    # everything else zero — no bilinear smearing
+    assert np.count_nonzero(f2) == 3
+
+
+def test_resize_sparse_flow_map_downscale_no_smear():
+    """Downscale keeps validity sparse: valid count can only shrink
+    (collisions, out-of-bounds), never grow the way a dense ==1 resize
+    smears into neighbours."""
+    from tcs_tpu.data.augmentor import resize_sparse_flow_map
+
+    rng = np.random.default_rng(0)
+    h, w = 40, 60
+    valid = (rng.random((h, w, 1)) < 0.05).astype(np.float32)
+    flow = np.where(valid > 0, rng.uniform(-30, 0, (h, w, 1)), 0.0).astype(
+        np.float32)
+    f2, v2 = resize_sparse_flow_map(flow, valid, fx=0.6, fy=0.6)
+    assert f2.shape == (24, 36, 1)
+    assert 0 < v2.sum() <= valid.sum()
+    # flow defined only where valid
+    assert np.all((np.abs(f2[..., 0]) > 0) <= (v2[..., 0] > 0))
+
+
+def test_single_pair_sparse_augmentor_scatters(rng):
+    """SparseFlowAugmentor (true sparse GT, e.g. KITTI 2015 labels) must
+    preserve ~the input density through a scaled resize; the dense ==1 path
+    would wipe isolated valid pixels to ~zero density."""
+    from tcs_tpu.data.augmentor import SparseFlowAugmentor
+
+    h, w = 120, 160
+    g = np.random.default_rng(11)
+    img1 = g.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+    img2 = g.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+    valid = (g.random((h, w, 1)) < 0.05).astype(np.float32)
+    flow = np.where(valid > 0, g.uniform(-30, -1, (h, w, 1)), 0.0).astype(
+        np.float32)
+
+    aug = SparseFlowAugmentor(crop_size=(64, 96), min_scale=-0.2,
+                              max_scale=0.4)
+    assert aug.scatter_resize
+    aug.spatial_aug_prob = 1.0  # force the resize path
+    s1, s2, f, v, K = aug.augment_pair(img1, img2, flow, valid,
+                                       rng=np.random.default_rng(5))
+    density = v.mean()
+    assert 0.01 < density < 0.12, density
+    # values stay pure scatter copies: flow only where valid, and within
+    # the scaled input range (no interpolated in-between values)
+    assert np.all((np.abs(f[..., 0]) > 0) <= (v[..., 0] > 0))
+    assert f.min() >= -30 * 2 ** 0.4 - 1e-5
+
+
 def test_native_color_jitter_matches_numpy_oracle(rng):
     """The GIL-released C++ jitter (native/tcs_io.cc tcs_color_jitter) must
     reproduce the numpy pipeline to ≤1 uint8 LSB for any op order/factors."""
@@ -511,6 +583,108 @@ def test_single_pair_as_sequence_adapter(tmp_path, rng):
                               frame_length=2, data_root=str(tmp_path))
     with pytest.raises(ValueError, match="frame_length"):
         fetch_dataset(cfg)
+
+
+def test_fetch_dataset_single_frame_tartanair(fake_tartanair):
+    """temporal=False routes TartanAir through its single_frame constructor
+    as T=1 sequences (reference fetch_dataloader with no --temporal,
+    stereo_datasets.py:713-716: scale factor 1, flat frame index)."""
+    import dataclasses
+
+    from tcs_tpu.config import TrainConfig
+    from tcs_tpu.data.datasets import fetch_dataset
+
+    cfg = dataclasses.replace(
+        TrainConfig(), train_dataset="TartanAir", temporal=False,
+        frame_length=1, data_root=fake_tartanair, image_size=(64, 96))
+    ds = fetch_dataset(cfg)
+    # only gascola/Easy/P005 survives the blacklist: 6 flat frames, no ×100
+    assert len(ds) == 6
+    s = ds.load_sample(0, np.random.default_rng(0))
+    assert s["image1"].shape == (1, 64, 96, 3)
+    assert s["flow"].shape == (1, 64, 96, 1)
+    assert s["T"].shape == (1, 4, 4)
+    assert s["flow"].max() <= 0.0
+
+    # temporal single-frame misuse is rejected with a clear error
+    cfg_bad = dataclasses.replace(cfg, frame_length=4)
+    with pytest.raises(ValueError, match="frame_length=1"):
+        fetch_dataset(cfg_bad)
+
+
+def test_fetch_dataset_kitti_gt(tmp_path):
+    """The 'kitti' branch (reference stereo_datasets.py:691-696): KITTI
+    2015+2012 GT pairs, sparse scatter augmentation, single-frame only."""
+    import dataclasses
+
+    from tcs_tpu.config import TrainConfig
+    from tcs_tpu.data.datasets import fetch_dataset
+
+    g = np.random.default_rng(2)
+    root = tmp_path / "KITTI"
+    for sub, imdirs, ddir in [
+        ("Kitti15", ("image_2", "image_3"), "disp_occ_0"),
+        ("Kitti12", ("image_0", "image_1"), "disp_occ"),
+    ]:
+        for d in imdirs + (ddir,):
+            (root / sub / "training" / d).mkdir(parents=True)
+        for i in range(2):
+            for d in imdirs:
+                img = g.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)
+                Image.fromarray(img).save(
+                    root / sub / "training" / d / f"{i:06d}_10.png")
+            disp = np.zeros((96, 128), np.uint16)
+            yy = g.integers(1, 95, size=300)
+            xx = g.integers(1, 127, size=300)
+            disp[yy, xx] = (g.uniform(1, 40, size=300) * 256).astype(np.uint16)
+            Image.fromarray(disp).save(
+                root / sub / "training" / ddir / f"{i:06d}_10.png")
+
+    cfg = dataclasses.replace(
+        TrainConfig(), train_dataset="kitti", temporal=False, frame_length=1,
+        data_root=str(tmp_path), image_size=(64, 96))
+    ds = fetch_dataset(cfg)
+    assert len(ds) == 4  # 2 from Kitti15 + 2 from Kitti12
+    s = ds.load_sample(0, np.random.default_rng(1))
+    assert s["image1"].shape == (1, 64, 96, 3)
+    assert set(np.unique(s["valid"])).issubset({0.0, 1.0})
+    assert 0.0 < s["valid"].mean() < 0.2  # stays sparse through augmentation
+
+    with pytest.raises(NotImplementedError, match="single-frame"):
+        fetch_dataset(dataclasses.replace(cfg, temporal=True))
+
+
+def test_kitti_raw_single_frame_flat(tmp_path):
+    """KITTIraw single_frame indexes frames flat (the reference's own
+    single_frame KITTIraw keeps windowed lists and would crash in its
+    single-pair __getitem__ — stereo_datasets.py:615-627 vs :164-182)."""
+    from tcs_tpu.data.datasets import KITTIraw
+
+    g = np.random.default_rng(3)
+    date = tmp_path / "kitti_raw" / "2011_09_26"
+    seq = date / "2011_09_26_drive_0001_sync"
+    for d in ("image_02/data", "image_03/data", "leastereo/data"):
+        (seq / d).mkdir(parents=True)
+    poses = []
+    for i in range(5):
+        for d in ("image_02/data", "image_03/data"):
+            img = g.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)
+            Image.fromarray(img).save(seq / d / f"{i:010d}.png")
+        disp = (g.uniform(1, 40, size=(96, 128)) * 256).astype(np.uint16)
+        Image.fromarray(disp).save(seq / "leastereo" / "data" / f"{i:010d}.png")
+        T = np.eye(4)
+        poses.append(" ".join(str(v) for v in T[:3].reshape(-1)))
+    (seq / "pose.txt").write_text("\n".join(poses) + "\n")
+    (date / "calib_cam_to_cam.txt").write_text(
+        "P_rect_02: 700 0 60 0 0 700 45 0 0 0 1 0\n")
+
+    ds = KITTIraw({"crop_size": (64, 96), "min_scale": -0.2,
+                   "max_scale": 0.2, "do_flip": False, "yjitter": False},
+                  root=str(tmp_path / "kitti_raw"), mode="single_frame")
+    assert len(ds) == 5  # flat frames, not len-4 windows (which would be 2)
+    s = ds.load_pair(0, np.random.default_rng(0))
+    assert s["image1"].shape == (64, 96, 3)
+    assert s["flow"].shape == (64, 96, 1)
 
 
 def test_sharded_eval_matches_serial(fake_tartanair):
