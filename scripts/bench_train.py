@@ -87,6 +87,9 @@ def main():
                    help="override ModelConfig.lookup_backend (e.g. "
                         "onehot_w2major_vjp: hand-written linear VJP, no "
                         "pyramid residuals under remat)")
+    p.add_argument("--splat-backend", default=None,
+                   help="override ModelConfig.splat_backend (xla | "
+                        "xla_gatherbwd | xla_fused | xla_aligned)")
 
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
@@ -130,6 +133,8 @@ def main():
                           remat_iter_cell=mode in ("cell", "encoder_cell"),
                           **({"lookup_backend": args.lookup_backend}
                              if args.lookup_backend else {}),
+                          **({"splat_backend": args.splat_backend}
+                             if args.splat_backend else {}),
                       ))
     model = TCStereo(cfg=cfg.model)
 

@@ -1,11 +1,21 @@
 """Synthetic stereo-video dataset for end-to-end tests and demos.
 
-Generates random fronto-parallel textured scenes with exact disparity ground
-truth: the right view is the left view shifted by the (integer) disparity, so
-a correct matcher can drive EPE → 0. Camera poses translate along x so the
-temporal warp path is exercised. No reference equivalent — the reference has
-no test suite at all (SURVEY.md §4); this implements the "tiny-synthetic
-end-to-end convergence test" strategy.
+Generates fronto-parallel textured scenes with exact disparity ground truth
+that are **geometrically consistent across time**: each clip has ONE static
+wide texture (a plane at depth Z), and every frame is rendered by sliding a
+window across it according to the camera's x-translation — so the carried
+temporal state (warped previous disparity + features) genuinely predicts the
+next frame, and carried-state-vs-reset comparisons are meaningful
+(exercises the paper's central claim; reference warp path
+``core/utils/geo_utils.py:158-198``).
+
+Rendering model: a plane at depth Z = baseline·fx/d gives constant disparity
+d (the right view is the left view shifted by d pixels). A camera translating
+by δ along +x between frames shifts the image content LEFT by
+u = fx·δ/Z pixels; with world→cam poses this is T_t[0,3] = −δ·t. Frames are
+windows of the shared texture at origin s_t = round(u)·t (left) and s_t + d
+(right). No reference equivalent — the reference has no test suite at all
+(SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -15,11 +25,8 @@ from typing import Dict
 import numpy as np
 
 
-def make_synthetic_frame(rng: np.random.Generator, H: int, W: int,
-                         disparity: float):
-    """One stereo pair with constant integer disparity and smooth texture."""
-    d = int(round(disparity))
-    # Smooth random texture (low-frequency) so matching is well-posed.
+def _make_texture(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
+    """Smooth low-frequency texture + high-frequency detail, (H, W, 3)."""
     low = rng.uniform(0, 255, size=(H // 8 + 2, W // 8 + 2, 3))
     ys = np.linspace(0, low.shape[0] - 1.001, H)
     xs = np.linspace(0, low.shape[1] - 1.001, W)
@@ -31,28 +38,41 @@ def make_synthetic_frame(rng: np.random.Generator, H: int, W: int,
         + low[y0 + 1][:, x0] * fy * (1 - fx)
         + low[y0 + 1][:, x0 + 1] * fy * fx
     )
-    # add high-frequency detail for unambiguous correspondence
-    tex = 0.7 * tex + 0.3 * rng.uniform(0, 255, size=(H, W, 3))
-    left = tex
-    right = np.empty_like(left)
-    right[:, : W - d] = left[:, d:]
-    right[:, W - d :] = left[:, W - d - 1 : W - d]  # replicate edge
-    return left.astype(np.float32), right.astype(np.float32)
+    # high-frequency detail for unambiguous correspondence
+    return 0.7 * tex + 0.3 * rng.uniform(0, 255, size=(H, W, 3))
+
+
+def make_synthetic_frame(rng: np.random.Generator, H: int, W: int,
+                         disparity: float):
+    """One stereo pair with constant integer disparity and smooth texture."""
+    d = int(round(disparity))
+    tex = _make_texture(rng, H, W + d)
+    left = tex[:, :W]
+    right = tex[:, d : W + d]
+    return (np.ascontiguousarray(left, np.float32),
+            np.ascontiguousarray(right, np.float32))
 
 
 class SyntheticStereoSequence:
-    """Duck-typed StereoSequenceDataset serving random constant-disparity
-    clips. Compatible with SequenceLoader."""
+    """Duck-typed StereoSequenceDataset serving geometrically consistent
+    constant-disparity clips under x-translating camera motion. Compatible
+    with SequenceLoader.
+
+    ``shift_px`` is the per-frame image shift of the scene content in pixels
+    (the camera translation is derived from it: δ = shift_px·Z/fx).
+    """
 
     def __init__(self, n_samples: int = 16, frame_length: int = 2,
                  height: int = 64, width: int = 96, max_disp: float = 12.0,
-                 baseline: float = 0.5, fx: float = 100.0):
+                 baseline: float = 0.5, fx: float = 100.0,
+                 shift_px: int = 4):
         self.n_samples = n_samples
         self.frame_length = frame_length
         self.H, self.W = height, width
         self.max_disp = max_disp
         self.baseline = baseline
         self.fx = fx
+        self.shift_px = int(shift_px)
 
     def __len__(self):
         return self.n_samples
@@ -60,14 +80,22 @@ class SyntheticStereoSequence:
     def load_sample(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         T, H, W = self.frame_length, self.H, self.W
         disp = float(rng.integers(2, int(self.max_disp)))
+        d = int(round(disp))
         depth = self.baseline * self.fx / disp
+        # ONE static texture wide enough for all frame windows + disparity.
+        tex = _make_texture(rng, H, W + d + self.shift_px * (T - 1))
+        # camera translation per frame that produces exactly shift_px of
+        # image motion: u = fx * delta / Z  =>  delta = shift_px * Z / fx
+        delta = self.shift_px * depth / self.fx
         lefts, rights, poses = [], [], []
         for t in range(T):
-            l, r = make_synthetic_frame(rng, H, W, disp)
-            lefts.append(l)
-            rights.append(r)
+            s = self.shift_px * t
+            lefts.append(np.ascontiguousarray(tex[:, s : s + W], np.float32))
+            rights.append(
+                np.ascontiguousarray(tex[:, s + d : s + d + W], np.float32)
+            )
             Tm = np.eye(4, dtype=np.float32)
-            Tm[0, 3] = 0.005 * depth * t  # small x-translation per frame
+            Tm[0, 3] = -delta * t  # world→cam: camera centre at +delta*t
             poses.append(Tm)
         flow = -np.full((T, H, W, 1), disp, np.float32)
         valid = np.ones((T, H, W, 1), np.float32)

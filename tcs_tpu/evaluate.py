@@ -342,15 +342,34 @@ def submit_kitti(model, params, cfg: ModelConfig, iters: int = 5,
                     (disp * 256.0).astype(np.uint16),
                 )
             elif not submission:
-                vid_dir = os.path.join(out_dir, "video",
-                                       os.path.basename(scene_path))
-                os.makedirs(vid_dir, exist_ok=True)
+                # pseudo-color .avi per scene, 2 fps MJPG (reference
+                # evaluate_stereo.py:103-113); per-frame PNG fallback when
+                # cv2 is unavailable.
                 rgb = pseudo_color_map(disp, vmin=0, vmax=96, kitti_style=True)
-                from PIL import Image
+                vid_dir = os.path.join(out_dir, "video")
+                os.makedirs(vid_dir, exist_ok=True)
+                try:
+                    import cv2
 
-                Image.fromarray(rgb).save(
-                    os.path.join(vid_dir, f"{frame_ind:06d}.png")
-                )
+                    if frame_ind == 0:
+                        video = cv2.VideoWriter(
+                            os.path.join(
+                                vid_dir,
+                                os.path.basename(scene_path) + ".avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 2,
+                            (rgb.shape[1], rgb.shape[0]))
+                    video.write(rgb[:, :, ::-1])  # RGB → BGR
+                except ImportError:
+                    png_dir = os.path.join(vid_dir,
+                                           os.path.basename(scene_path))
+                    os.makedirs(png_dir, exist_ok=True)
+                    from PIL import Image
+
+                    Image.fromarray(rgb).save(
+                        os.path.join(png_dir, f"{frame_ind:06d}.png")
+                    )
+        if not submission and "video" in locals():
+            video.release()
     fps = 1.0 / (np.mean(elapsed) + 1e-5) if elapsed else 0.0
     logger.info("Submission KITTI: %.2f FPS", fps)
     return {"kitti-fps": float(fps)}

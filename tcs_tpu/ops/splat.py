@@ -113,6 +113,81 @@ def splat_sum_fused(values: jax.Array, flow: jax.Array) -> jax.Array:
     return out.reshape(B, H, W, C)
 
 
+@jax.custom_vjp
+def splat_sum_gatherbwd(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """:func:`splat_sum` with a hand-written gather-based VJP.
+
+    JAX autodiff transposes the forward's combining scatter-add, which XLA
+    lowers to serialized while-loops on TPU (measured 79.5 ms/step of the
+    TartanAir train step). The adjoint of a bilinear scatter is a bilinear
+    GATHER, so this backend supplies the backward explicitly — the exact
+    math of the reference's hand-written CUDA backward kernels
+    (``softsplat.py:368-436`` ingrad: per-source-pixel weighted gather of
+    the output cotangent; ``:439-524`` flowgrad: the same four gathers
+    contracted with ``values`` and the bilinear-weight derivatives) — using
+    the same linear-index row gathers as ``bilinear_sampler``.
+    Forward is bit-identical to ``splat_sum``; gradients agree with JAX
+    autodiff to fp tolerance (tests/test_splat.py).
+    """
+    return splat_sum(values, flow)
+
+
+def _splat_gatherbwd_fwd(values, flow):
+    return splat_sum(values, flow), (values, flow)
+
+
+def _splat_gatherbwd_bwd(res, g):
+    values, flow = res
+    B, H, W, C = values.shape
+    dtype = values.dtype
+
+    gx = lax.broadcasted_iota(dtype, (B, H, W), 2)
+    gy = lax.broadcasted_iota(dtype, (B, H, W), 1)
+    tx = gx + flow[..., 0]
+    ty = gy + flow[..., 1]
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    tx = jnp.where(finite, tx, -10.0)
+    ty = jnp.where(finite, ty, -10.0)
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+
+    gflat = g.reshape(B, H * W, C)
+    dvalues = jnp.zeros_like(values)
+    dtx = jnp.zeros((B, H, W), dtype)
+    dty = jnp.zeros((B, H, W), dtype)
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        lin = (
+            jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
+            + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        ).reshape(B, H * W)
+        gval = jnp.take_along_axis(gflat, lin[..., None], axis=1).reshape(
+            B, H, W, C)
+        gval = gval * valid[..., None].astype(dtype)
+        wx = 1.0 - jnp.abs(tx - xi)
+        wy = 1.0 - jnp.abs(ty - yi)
+        # d wx / d tx: tap at floor → wx = x0+1−tx (−1); tap at floor+1 →
+        # wx = tx−x0 (+1). Same for y (reference flowgrad weight derivatives,
+        # softsplat.py:480-497).
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        dvalues = dvalues + (wx * wy)[..., None] * gval
+        dot = jnp.sum(values * gval, axis=-1)
+        dtx = dtx + sx * wy * dot
+        dty = dty + wx * sy * dot
+    dflow = jnp.stack([dtx, dty], axis=-1)
+    # non-finite targets: forward contributes nothing and the where() blocks
+    # the flow gradient (taps are out of bounds anyway; this is belt and
+    # braces for the -10 sentinel sitting near the image corner).
+    dflow = dflow * finite[..., None].astype(dtype)
+    return dvalues, dflow
+
+
+splat_sum_gatherbwd.defvjp(_splat_gatherbwd_fwd, _splat_gatherbwd_bwd)
+
+
 def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
               valid_mask=None, backend: str = "xla"):
     """Softmax splatting (reference ``softsplat.py:232``).
@@ -123,7 +198,15 @@ def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
       metric: (B, H, W, 1) importance metric, or None for 'sum'/'avg'.
       mode: 'sum' | 'avg' | 'linear[-addeps|-clipeps]' | 'soft[-addeps|-clipeps]'.
       valid_mask: (B, H, W, 1) or None; invalid sources contribute nothing.
-      backend: 'xla' (scatter-add) or 'pallas' (fused kernel).
+      backend: 'xla' (four per-tap scatter-adds, autodiff backward) |
+        'xla_gatherbwd' (same forward, hand-written gather VJP — no
+        scatter-transpose while-loops in the backward) | 'xla_fused' (one
+        combining scatter) | 'xla_aligned' (lane-aligned split). A Pallas
+        scatter kernel was evaluated and NOT built: TPU has no atomics, so
+        it would need either serialized per-pixel stores (≈ XLA's scatter
+        speed) or a bounded-flow shift decomposition (~2× at best on ~4%
+        of end-to-end time); the gather-VJP backend addresses the real
+        cost, the backward transpose (PERF.md).
 
     Returns:
       (warped (B, H, W, C), coverage_mask (B, H, W, 1)) for normalising modes;
@@ -189,6 +272,8 @@ def softsplat(values: jax.Array, flow: jax.Array, metric, mode: str,
 def _dispatch(values, flow, backend):
     if backend in ("xla", "xla_aligned"):
         return splat_sum(values, flow)
+    if backend == "xla_gatherbwd":
+        return splat_sum_gatherbwd(values, flow)
     if backend == "xla_fused":
         return splat_sum_fused(values, flow)
     raise ValueError(f"unknown splat backend: {backend}")

@@ -92,3 +92,27 @@ def load_params(directory: str, params_target: Any) -> Any:
         ocp.utils.to_shape_dtype_struct, params_target
     )
     return ckptr.restore(os.path.abspath(directory), abstract)
+
+
+def save_params_npz(params: Any, path: str, dtype="float16"):
+    """Single-file npz parameter export (committable test fixtures).
+
+    Stored at reduced precision by default; keys are tree key-paths so the
+    file round-trips through any target tree with the same structure."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    arrs = {jax.tree_util.keystr(k): np.asarray(v).astype(dtype)
+            for k, v in flat}
+    np.savez_compressed(path, **arrs)
+
+
+def load_params_npz(path: str, params_target: Any, dtype="float32") -> Any:
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_target)
+    leaves = [jnp.asarray(data[jax.tree_util.keystr(k)]).astype(dtype)
+              for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

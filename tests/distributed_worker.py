@@ -1,0 +1,79 @@
+"""Worker process for the 2-process jax.distributed test
+(tests/test_distributed.py). Runs the REAL multi-host code path on CPU:
+``initialize_distributed`` → global mesh over both processes' devices →
+``Trainer.make_batch``'s ``global_batch_from_local`` branch → one jitted
+train step whose gradient all-reduce crosses the process boundary →
+``process_rng_key``. Writes a JSON result for the parent test to compare
+against a single-process run of the same global batch.
+
+Usage: python tests/distributed_worker.py <coord> <nproc> <pid> <out.json>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    coord, nproc, pid, out_path = sys.argv[1:5]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcs_tpu_jax_cache")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import numpy as np
+
+    from tcs_tpu.parallel.mesh import initialize_distributed, process_rng_key
+
+    initialize_distributed(coord, int(nproc), int(pid))
+    assert jax.process_count() == int(nproc), jax.process_count()
+    assert len(jax.local_devices()) == 1
+    assert len(jax.devices()) == int(nproc)
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.data.loader import SequenceLoader
+    from tcs_tpu.data.synthetic import SyntheticStereoSequence
+    from tcs_tpu.train import make_train_step
+    from tcs_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        batch_size=1, image_size=(32, 64), frame_length=1, train_iters=1,
+        num_steps=4, lr=1e-4, num_workers=1,
+        checkpoint_dir=f"/tmp/tcs_dist_ckpt_{pid}",
+        model=ModelConfig(mixed_precision=False),
+    )
+    trainer = Trainer(cfg)
+    assert trainer.n_shards == int(nproc)
+
+    ds = SyntheticStereoSequence(n_samples=8, frame_length=1, height=32,
+                                 width=64)
+    loader = SequenceLoader(ds, batch_size=1, seed=0,
+                            shard_id=jax.process_index(),
+                            num_shards=jax.process_count(), num_workers=1)
+    ts = trainer.init_state()
+    step = make_train_step(trainer.model, cfg, donate=False)
+    np_batch = next(iter(loader))
+    batch = trainer.make_batch(np_batch)  # global_batch_from_local branch
+    assert batch.image1.shape[0] == int(nproc)  # global batch across procs
+    ts, metrics = step(ts, batch)
+
+    key = process_rng_key(jax.random.PRNGKey(0))
+    result = {
+        "process": int(pid),
+        "loss": float(np.asarray(metrics["live_loss"])),
+        "epe": float(np.asarray(metrics["epe"])),
+        "rng": np.asarray(jax.random.key_data(key)).tolist(),
+        "local_rows_index": int(np_batch["_index"][0]) if "_index" in np_batch
+        else None,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print("worker", pid, "done:", result, flush=True)
+
+
+if __name__ == "__main__":
+    main()

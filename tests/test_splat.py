@@ -146,3 +146,36 @@ def test_splat_sum_fused_matches_per_tap(rng):
     a = np.asarray(splat_sum(jnp.asarray(values), jnp.asarray(flow)))
     b = np.asarray(splat_sum_fused(jnp.asarray(values), jnp.asarray(flow)))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_gatherbwd_forward_and_grads_match_autodiff(rng):
+    """The hand-written gather VJP (splat_sum_gatherbwd) must produce the
+    SAME forward values and the same value/flow gradients as JAX autodiff
+    of the scatter formulation — including boundary taps (flow pushing
+    mass off the image) and non-finite targets."""
+    B, H, W, C = 2, 6, 8, 3
+    v = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    flow = (rng.uniform(-2.5, 2.5, size=(B, H, W, 2)) + 0.3).astype(np.float32)
+    flow[0, 0, 0] = np.nan  # non-finite target is skipped, grads zero
+    v_j, f_j = jnp.asarray(v), jnp.asarray(flow)
+
+    out_ref = splat.splat_sum(v_j, f_j)
+    out_new = splat.splat_sum_gatherbwd(v_j, f_j)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_new))
+
+    cot = jnp.asarray(rng.normal(size=out_ref.shape).astype(np.float32))
+
+    def loss_ref(v_, f_):
+        return (splat.splat_sum(v_, f_) * cot).sum()
+
+    def loss_new(v_, f_):
+        return (splat.splat_sum_gatherbwd(v_, f_) * cot).sum()
+
+    gv_ref, gf_ref = jax.grad(loss_ref, argnums=(0, 1))(v_j, f_j)
+    gv_new, gf_new = jax.grad(loss_new, argnums=(0, 1))(v_j, f_j)
+    np.testing.assert_allclose(np.asarray(gv_ref), np.asarray(gv_new),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_ref), np.asarray(gf_new),
+                               atol=1e-4, rtol=1e-4)
+    assert np.isfinite(np.asarray(gf_new)).all()
+    assert np.asarray(gf_new)[0, 0, 0].tolist() == [0.0, 0.0]

@@ -49,6 +49,62 @@ def test_synthetic_frame_consistency(rng):
     np.testing.assert_allclose(r[:, :43], l[:, 5:], atol=1e-4)
 
 
+def test_synthetic_sequence_temporally_consistent(rng):
+    """The clip's frames are windows of ONE static scene: frame t+1 equals
+    frame t shifted left by shift_px, and the stereo shift holds per frame."""
+    ds = SyntheticStereoSequence(n_samples=1, frame_length=3, height=32,
+                                 width=64, shift_px=4)
+    s = ds.load_sample(0, np.random.default_rng(7))
+    l, r = s["image1"], s["image2"]
+    d = int(-s["flow"][0, 0, 0, 0])
+    for t in range(2):
+        np.testing.assert_allclose(l[t + 1][:, : 64 - 4], l[t][:, 4:],
+                                   atol=1e-4)
+    np.testing.assert_allclose(r[0][:, : 64 - d], l[0][:, d:], atol=1e-4)
+    # pose is a pure x-translation consistent with the pixel shift:
+    # u = fx * delta / Z with delta = -T[t,0,3]
+    depth = float(s["baseline"]) * 100.0 / d
+    assert s["T"][1][0, 3] == pytest.approx(-4 * depth / 100.0, rel=1e-5)
+
+
+def test_temporal_warp_transports_state():
+    """The paper's mechanism, isolated from learned weights: forward-warping
+    the TRUE previous disparity + previous-frame content under the clip's
+    poses must reproduce the next frame's disparity and content
+    (geometry.warp == reference geo_utils.py:158-198, at the model's
+    quarter resolution with scaled intrinsics)."""
+    from tcs_tpu import geometry
+
+    shift = 8  # full-res px per frame → integer 2 px at quarter res
+    H, W = 64, 96
+    ds = SyntheticStereoSequence(n_samples=1, frame_length=2, height=H,
+                                 width=W, shift_px=shift)
+    s = ds.load_sample(0, np.random.default_rng(3))
+    d = float(-s["flow"][0, 0, 0, 0])
+
+    def quarter(img):  # 4×4 block mean; aligned with the 8-px content shift
+        return img.reshape(H // 4, 4, W // 4, 4, 3).mean(axis=(1, 3))
+
+    q1, q2 = quarter(s["image1"][0]), quarter(s["image1"][1])
+    disp_q = jnp.full((1, H // 4, W // 4, 1), d / 4.0)
+    K_scale = geometry.scale_intrinsics(jnp.asarray(s["K"])[None], 0.25)
+    rel_T = geometry.cal_relative_transformation(
+        jnp.asarray(s["T"][0])[None], jnp.asarray(s["T"][1])[None])
+    warped_disp, warped_fmap, mask = geometry.warp(
+        disp_q, jnp.asarray(q1, jnp.float32)[None], rel_T, K_scale,
+        jnp.linalg.inv(K_scale), jnp.asarray([float(s["baseline"])]))
+    mask = np.asarray(mask)[0, ..., 0]
+    # content exits on the left, enters (unfilled) on the right: all but the
+    # last shift/4 columns must be covered
+    assert mask[:, : W // 4 - shift // 4].mean() > 0.99
+    # transported disparity is the constant scene disparity where valid
+    err_d = np.abs(np.asarray(warped_disp)[0, ..., 0] - d / 4.0) * mask
+    assert err_d.max() < 1e-3
+    # transported content IS the next frame's content where valid
+    err_f = np.abs(np.asarray(warped_fmap)[0] - q2).mean(-1) * mask
+    assert err_f.max() < 1e-2, err_f.max()
+
+
 @pytest.fixture(scope="module")
 def train_setup():
     cfg = small_cfg()
