@@ -79,8 +79,11 @@ def main():
         remat_frames=False,
     )
     model = TCStereo(cfg=cfg.model)
+    # half the training clips are two-plane scenes (spatially varying
+    # disparity + true occlusion boundaries) so the model learns completion
+    # that the temporal eval below can probe.
     ds = SyntheticStereoSequence(n_samples=args.scenes, frame_length=2,
-                                 height=H, width=W)
+                                 height=H, width=W, layered_frac=0.5)
     loader = SequenceLoader(ds, batch_size=1, seed=0, num_workers=2,
                             drop_last=True)
 
@@ -90,11 +93,20 @@ def main():
                                  "K", "baseline")})
 
     first = to_batch(next(iter(loader)))
-    state0 = TemporalState.zeros(1, H, W, cfg.model)
-    cam = CameraParams(K=first.K, baseline=first.baseline)
-    params = model.init(jax.random.PRNGKey(0), first.image1[:, 0],
-                        first.image2[:, 0], state0, cam, first.T[:, 0],
-                        iters=args.iters, test_mode=False)
+    # Flax init runs EAGERLY (op by op); on the remote-tunnel TPU backend
+    # that is thousands of tiny RPCs (~minutes). Initialise on the local CPU
+    # backend — identical numerics — and transfer the tree once.
+    with jax.default_device(jax.devices("cpu")[0]):
+        state0_c = TemporalState.zeros(1, H, W, cfg.model)
+        cam_c = CameraParams(
+            K=jnp.asarray(np.asarray(first.K)),
+            baseline=jnp.asarray(np.asarray(first.baseline)))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(np.asarray(first.image1[:, 0])),
+            jnp.asarray(np.asarray(first.image2[:, 0])), state0_c, cam_c,
+            jnp.asarray(np.asarray(first.T[:, 0])), iters=args.iters,
+            test_mode=False)
+    params = jax.device_put(params, jax.devices()[0])
     ts = TrainState.create(apply_fn=model.apply, params=params,
                            tx=make_optimizer(cfg))
     step = make_train_step(model, cfg, donate=False)
@@ -133,9 +145,11 @@ def main():
     # ---- temporal-mechanism eval: carried state vs reset state ----------
     from tcs_tpu.train import make_eval_step
 
+    # All eval clips are two-plane scenes: the foreground/background
+    # boundary is what occlusion completion must get right.
     eval_ds = SyntheticStereoSequence(
         n_samples=args.eval_clips, frame_length=args.eval_frames,
-        height=H, width=W)
+        height=H, width=W, layered_frac=1.0)
     ev_full = make_eval_step(model, iters=args.iters)
     ev_by_iters = {args.iters: ev_full, 1: make_eval_step(model, iters=1)}
 
@@ -145,27 +159,34 @@ def main():
         The carry is always advanced by the FULL-iteration pass on clean
         frames (the state a tracking system would have); the frame under
         test runs at ``n_it`` iterations from either that carried state or
-        a zeros reset. ``occlude``: frames >= 2 get a mean-color rectangle
-        erased from the RIGHT image (matching is impossible there; the
-        carried state still knows the disparity — the paper's occlusion
-        argument, supp Table 2 OCC columns) and EPE is measured over the
-        affected left-image pixels only.
+        a zeros reset. ``occlude``: in frames >= 2 the foreground object's
+        projection in the RIGHT image is erased (matching is impossible
+        there; only the carried state knows the disparity structure — the
+        paper's occlusion argument, supp Table 2 OCC columns) and EPE is
+        measured over the foreground's left-image bounding box.
         """
         ev_test = ev_by_iters[n_it]
         errs = []
         for ci in range(args.eval_clips):
             s = eval_ds.load_sample(ci, np.random.default_rng(10_000 + ci))
-            d = int(-s["flow"][0, 0, 0, 0])
+            d_bg = -s["flow"][0, 0, 0, 0]
             cam_e = CameraParams(K=jnp.asarray(s["K"])[None],
                                  baseline=jnp.asarray([float(s["baseline"])]))
-            x0, x1 = W // 3, 2 * W // 3
-            y0, y1 = H // 4, 3 * H // 4
             state = TemporalState.zeros(1, H, W, cfg.model)
             for t in range(args.eval_frames):
+                disp_gt = -s["flow"][t][..., 0]
+                fg = disp_gt > d_bg + 0.5
+                ys, xs = np.where(fg)
+                y0, y1 = ys.min(), ys.max() + 1
+                x0, x1 = xs.min(), xs.max() + 1
+                d_fg = int(round(disp_gt[fg].max()))
                 img1 = jnp.asarray(s["image1"][t])[None]
                 img2 = s["image2"][t].copy()
                 if occlude and t >= 1:
-                    img2[y0:y1, x0:x1] = img2.reshape(-1, 3).mean(0)
+                    # erase the fg's right-view projection (+margin)
+                    img2[max(y0 - 2, 0) : y1 + 2,
+                         max(x0 - d_fg - 2, 0) : x1 - d_fg + 2] = \
+                        img2.reshape(-1, 3).mean(0)
                 img2 = jnp.asarray(img2)[None]
                 Tm = jnp.asarray(s["T"][t])[None]
                 if t >= 1:
@@ -176,9 +197,7 @@ def main():
                     err = np.abs(np.asarray(flow)[0, ..., 0]
                                  - s["flow"][t][..., 0])
                     if occlude:
-                        # left pixels whose right-image match was erased:
-                        # x_right = x_left − d ∈ [x0, x1)
-                        err = err[y0:y1, x0 + d : x1 + d]
+                        err = err[y0:y1, x0:x1]
                     errs.append(float(err.mean()))
                 # advance the carry on the clean frame with full iterations
                 _, state = ev_full(ts.params, img1,

@@ -65,7 +65,7 @@ class SyntheticStereoSequence:
     def __init__(self, n_samples: int = 16, frame_length: int = 2,
                  height: int = 64, width: int = 96, max_disp: float = 12.0,
                  baseline: float = 0.5, fx: float = 100.0,
-                 shift_px: int = 4):
+                 shift_px: int = 4, layered_frac: float = 0.0):
         self.n_samples = n_samples
         self.frame_length = frame_length
         self.H, self.W = height, width
@@ -73,31 +73,70 @@ class SyntheticStereoSequence:
         self.baseline = baseline
         self.fx = fx
         self.shift_px = int(shift_px)
+        # fraction of clips rendered as TWO-plane scenes (foreground
+        # rectangle at 2× the background disparity, correct per-layer
+        # parallax + z-ordering). Spatially varying disparity makes
+        # occlusion completion non-trivial — needed to evaluate the
+        # temporal mechanism (a constant-d scene can be infilled from any
+        # neighbourhood).
+        self.layered_frac = float(layered_frac)
 
     def __len__(self):
         return self.n_samples
 
+    def _pose(self, delta: float, t: int) -> np.ndarray:
+        Tm = np.eye(4, dtype=np.float32)
+        Tm[0, 3] = -delta * t  # world→cam: camera centre at +delta*t
+        return Tm
+
     def load_sample(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         T, H, W = self.frame_length, self.H, self.W
-        disp = float(rng.integers(2, int(self.max_disp)))
-        d = int(round(disp))
-        depth = self.baseline * self.fx / disp
-        # ONE static texture wide enough for all frame windows + disparity.
-        tex = _make_texture(rng, H, W + d + self.shift_px * (T - 1))
-        # camera translation per frame that produces exactly shift_px of
-        # image motion: u = fx * delta / Z  =>  delta = shift_px * Z / fx
-        delta = self.shift_px * depth / self.fx
-        lefts, rights, poses = [], [], []
-        for t in range(T):
-            s = self.shift_px * t
-            lefts.append(np.ascontiguousarray(tex[:, s : s + W], np.float32))
-            rights.append(
-                np.ascontiguousarray(tex[:, s + d : s + d + W], np.float32)
-            )
-            Tm = np.eye(4, dtype=np.float32)
-            Tm[0, 3] = -delta * t  # world→cam: camera centre at +delta*t
-            poses.append(Tm)
-        flow = -np.full((T, H, W, 1), disp, np.float32)
+        layered = rng.random() < self.layered_frac
+        d_bg = int(rng.integers(2, int(self.max_disp) // 2 + 1))
+        depth_bg = self.baseline * self.fx / d_bg
+        s_bg = self.shift_px
+        # camera translation per frame producing exactly s_bg px of image
+        # motion at the background depth: u = fx·delta/Z
+        delta = s_bg * depth_bg / self.fx
+        tex = _make_texture(rng, H, W + d_bg + s_bg * (T - 1))
+
+        lefts, rights, poses, flows = [], [], [], []
+        if not layered:
+            for t in range(T):
+                s = s_bg * t
+                lefts.append(np.ascontiguousarray(tex[:, s : s + W], np.float32))
+                rights.append(np.ascontiguousarray(
+                    tex[:, s + d_bg : s + d_bg + W], np.float32))
+                poses.append(self._pose(delta, t))
+                flows.append(-np.full((H, W, 1), float(d_bg), np.float32))
+        else:
+            # foreground plane at half the depth → 2× disparity and 2× the
+            # image-space parallax (u_fg = fx·delta/Z_fg = 2·s_bg)
+            d_fg = 2 * d_bg
+            s_fg = 2 * s_bg
+            rh = int(rng.integers(H // 3, H // 2))
+            rw = int(rng.integers(W // 4, W // 3))
+            ry = int(rng.integers(2, H - rh - 2))
+            # keep the rect inside the frame for all t in BOTH views
+            rx0 = int(rng.integers(d_fg + s_fg * (T - 1) + 2,
+                                   max(W - rw - 2, d_fg + s_fg * (T - 1) + 3)))
+            fg_tex = _make_texture(rng, rh, rw)
+            for t in range(T):
+                s = s_bg * t
+                # absolute image-coord fg position: shifts left s_fg px/frame
+                rx = rx0 - s_fg * t
+                left = np.array(tex[:, s : s + W], np.float32)
+                right = np.array(tex[:, s + d_bg : s + d_bg + W], np.float32)
+                disp = np.full((H, W), float(d_bg), np.float32)
+                left[ry : ry + rh, rx : rx + rw] = fg_tex
+                right[ry : ry + rh, rx - d_fg : rx - d_fg + rw] = fg_tex
+                disp[ry : ry + rh, rx : rx + rw] = float(d_fg)
+                lefts.append(left)
+                rights.append(right)
+                poses.append(self._pose(delta, t))
+                flows.append(-disp[..., None])
+
+        flow = np.stack(flows)
         valid = np.ones((T, H, W, 1), np.float32)
         K = np.array([[self.fx, 0, W / 2], [0, self.fx, H / 2], [0, 0, 1]],
                      np.float32)

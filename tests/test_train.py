@@ -444,3 +444,59 @@ def test_recipe_presets_match_reference_launch_scripts():
         assert m.n_downsample == 2 and m.n_gru_layers == 3
         assert m.context_norm == "none" and m.shared_backbone
     assert RECIPES["kitti_raw"]().restore_ckpt is not None
+
+
+def test_temporal_state_beats_reset_with_trained_weights():
+    """The paper's central claim on TRAINED weights (fixture produced by
+    scripts/convergence_synthetic.py --save-params on TPU, committed):
+    frame-2 disparity with the carried temporal state must beat the same
+    frame with the state reset, measured where frame-2's right view is
+    occluded (matching impossible; only the carried state knows the
+    disparity — supp Table 2's OCC setting)."""
+    import os
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "convergence_params.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("trained fixture not generated yet")
+
+    from tcs_tpu.config import ModelConfig
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.train import make_eval_step
+    from tcs_tpu.utils.checkpoint import load_params_npz
+
+    Hf, Wf = 64, 96
+    cfg = ModelConfig(mixed_precision=False)
+    model = TCStereo(cfg=cfg)
+    ds = SyntheticStereoSequence(n_samples=2, frame_length=2, height=Hf,
+                                 width=Wf)
+    s = ds.load_sample(0, np.random.default_rng(10_000))
+    cam = CameraParams(K=jnp.asarray(s["K"])[None],
+                       baseline=jnp.asarray([float(s["baseline"])]))
+    state0 = TemporalState.zeros(1, Hf, Wf, cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(s["image1"][0])[None],
+                        jnp.asarray(s["image2"][0])[None], state0, cam,
+                        jnp.asarray(s["T"][0])[None], iters=1, test_mode=False)
+    params = load_params_npz(fixture, params)
+    ev = make_eval_step(model, iters=5)
+
+    # frame 1 (clean) builds the carry
+    _, carried = ev(params, jnp.asarray(s["image1"][0])[None],
+                    jnp.asarray(s["image2"][0])[None], state0, cam,
+                    jnp.asarray(s["T"][0])[None])
+    # frame 2 with the right view occluded in a central rectangle
+    x0, x1, y0, y1 = Wf // 3, 2 * Wf // 3, Hf // 4, 3 * Hf // 4
+    img2 = s["image2"][1].copy()
+    img2[y0:y1, x0:x1] = img2.reshape(-1, 3).mean(0)
+    d = int(-s["flow"][0, 0, 0, 0])
+
+    def frame2_epe(state):
+        flow, _ = ev(params, jnp.asarray(s["image1"][1])[None],
+                     jnp.asarray(img2)[None], state, cam,
+                     jnp.asarray(s["T"][1])[None])
+        err = np.abs(np.asarray(flow)[0, ..., 0] - s["flow"][1][..., 0])
+        return float(err[y0:y1, x0 + d : x1 + d].mean())
+
+    epe_carried = frame2_epe(carried)
+    epe_reset = frame2_epe(TemporalState.zeros(1, Hf, Wf, cfg))
+    assert epe_carried < epe_reset, (epe_carried, epe_reset)
