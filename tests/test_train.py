@@ -449,10 +449,12 @@ def test_recipe_presets_match_reference_launch_scripts():
 def test_temporal_state_beats_reset_with_trained_weights():
     """The paper's central claim on TRAINED weights (fixture produced by
     scripts/convergence_synthetic.py --save-params on TPU, committed):
-    frame-2 disparity with the carried temporal state must beat the same
-    frame with the state reset, measured where frame-2's right view is
-    occluded (matching impossible; only the carried state knows the
-    disparity — supp Table 2's OCC setting)."""
+    on two-plane clips where the foreground's right-view projection is
+    erased in frame 2 (matching impossible — supp Table 2's OCC setting),
+    disparity from the CARRIED temporal state must beat the same frame
+    with the state reset. Mean over several clips (mirrors the script's
+    seq_epe occluded protocol; per-clip noise is real, the mean is the
+    claim)."""
     import os
 
     fixture = os.path.join(os.path.dirname(__file__), "fixtures",
@@ -468,35 +470,52 @@ def test_temporal_state_beats_reset_with_trained_weights():
     Hf, Wf = 64, 96
     cfg = ModelConfig(mixed_precision=False)
     model = TCStereo(cfg=cfg)
-    ds = SyntheticStereoSequence(n_samples=2, frame_length=2, height=Hf,
-                                 width=Wf)
-    s = ds.load_sample(0, np.random.default_rng(10_000))
-    cam = CameraParams(K=jnp.asarray(s["K"])[None],
-                       baseline=jnp.asarray([float(s["baseline"])]))
+    ds = SyntheticStereoSequence(n_samples=4, frame_length=2, height=Hf,
+                                 width=Wf, layered_frac=1.0)
     state0 = TemporalState.zeros(1, Hf, Wf, cfg)
-    params = model.init(jax.random.PRNGKey(0), jnp.asarray(s["image1"][0])[None],
-                        jnp.asarray(s["image2"][0])[None], state0, cam,
-                        jnp.asarray(s["T"][0])[None], iters=1, test_mode=False)
+    s0 = ds.load_sample(0, np.random.default_rng(10_000))
+    cam0 = CameraParams(K=jnp.asarray(s0["K"])[None],
+                        baseline=jnp.asarray([float(s0["baseline"])]))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(s0["image1"][0])[None],
+                        jnp.asarray(s0["image2"][0])[None], state0, cam0,
+                        jnp.asarray(s0["T"][0])[None], iters=1,
+                        test_mode=False)
     params = load_params_npz(fixture, params)
     ev = make_eval_step(model, iters=5)
 
-    # frame 1 (clean) builds the carry
-    _, carried = ev(params, jnp.asarray(s["image1"][0])[None],
-                    jnp.asarray(s["image2"][0])[None], state0, cam,
-                    jnp.asarray(s["T"][0])[None])
-    # frame 2 with the right view occluded in a central rectangle
-    x0, x1, y0, y1 = Wf // 3, 2 * Wf // 3, Hf // 4, 3 * Hf // 4
-    img2 = s["image2"][1].copy()
-    img2[y0:y1, x0:x1] = img2.reshape(-1, 3).mean(0)
-    d = int(-s["flow"][0, 0, 0, 0])
+    carried_errs, reset_errs = [], []
+    for ci in range(4):
+        s = ds.load_sample(ci, np.random.default_rng(10_000 + ci))
+        cam = CameraParams(K=jnp.asarray(s["K"])[None],
+                           baseline=jnp.asarray([float(s["baseline"])]))
+        # frame 1 (clean) builds the carry
+        _, carried = ev(params, jnp.asarray(s["image1"][0])[None],
+                        jnp.asarray(s["image2"][0])[None], state0, cam,
+                        jnp.asarray(s["T"][0])[None])
+        # frame 2: erase the fg's right-view projection
+        disp_gt = -s["flow"][1][..., 0]
+        d_bg = disp_gt.min()
+        fg = disp_gt > d_bg + 0.5
+        ys, xs = np.where(fg)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        d_fg = int(round(disp_gt[fg].max()))
+        img2 = s["image2"][1].copy()
+        img2[max(y0 - 2, 0) : y1 + 2,
+             max(x0 - d_fg - 2, 0) : x1 - d_fg + 2] = \
+            img2.reshape(-1, 3).mean(0)
 
-    def frame2_epe(state):
-        flow, _ = ev(params, jnp.asarray(s["image1"][1])[None],
-                     jnp.asarray(img2)[None], state, cam,
-                     jnp.asarray(s["T"][1])[None])
-        err = np.abs(np.asarray(flow)[0, ..., 0] - s["flow"][1][..., 0])
-        return float(err[y0:y1, x0 + d : x1 + d].mean())
+        def frame2_epe(state):
+            flow, _ = ev(params, jnp.asarray(s["image1"][1])[None],
+                         jnp.asarray(img2)[None], state, cam,
+                         jnp.asarray(s["T"][1])[None])
+            err = np.abs(np.asarray(flow)[0, ..., 0] - s["flow"][1][..., 0])
+            return float(err[y0:y1, x0:x1].mean())
 
-    epe_carried = frame2_epe(carried)
-    epe_reset = frame2_epe(TemporalState.zeros(1, Hf, Wf, cfg))
-    assert epe_carried < epe_reset, (epe_carried, epe_reset)
+        carried_errs.append(frame2_epe(carried))
+        reset_errs.append(frame2_epe(state0))
+
+    epe_carried = float(np.mean(carried_errs))
+    epe_reset = float(np.mean(reset_errs))
+    assert epe_carried < epe_reset, (carried_errs, reset_errs)
