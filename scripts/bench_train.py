@@ -90,6 +90,9 @@ def main():
     p.add_argument("--splat-backend", default=None,
                    help="override ModelConfig.splat_backend (xla | "
                         "xla_gatherbwd | xla_fused | xla_aligned)")
+    p.add_argument("--corr-pad", type=int, default=None,
+                   help="override ModelConfig.corr_pad (zero-pad the corr "
+                        "lookup features to a lane-aligned channel count)")
 
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
@@ -135,6 +138,8 @@ def main():
                              if args.lookup_backend else {}),
                           **({"splat_backend": args.splat_backend}
                              if args.splat_backend else {}),
+                          **({"corr_pad": args.corr_pad}
+                             if args.corr_pad else {}),
                       ))
     model = TCStereo(cfg=cfg.model)
 

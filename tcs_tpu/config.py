@@ -90,6 +90,13 @@ class ModelConfig:
     # ~0.06 ms/iter and the reshape boundaries eat the gain) and notably
     # slower to compile; default off, kept as a tested knob.
     flow_stem_s2d: int = 1
+    # Zero-pad the 36-channel corr-lookup features (and convc1's kernel input
+    # rows) up to a multiple of this at apply time (layers.Conv.in_pad).
+    # Exact numerics, no param/checkpoint change. The unaligned 36-lane minor
+    # dim pushes convc1's backward off the MXU into VPU loop fusions +
+    # relayout copies (~48 ms/step of the TartanAir train step in the
+    # per-op trace).
+    corr_pad: int = 1
     # Storage dtype of the lookup pyramid ONLY (the masked cost volume used by
     # the argmax bootstrap and the init loss stays fp32). The XLA one-hot
     # lookup is HBM-bound on re-reading the pyramid once per tap (~635 MB per

@@ -34,13 +34,16 @@ class _Stage(nn.Module):
     stride: int
     dtype: Any = jnp.float32
     dual: int = 1
+    save_tag: Any = None  # forwarded to ResidualBlock.save_tag
 
     @nn.compact
     def __call__(self, x):
         x = ResidualBlock(self.dim, self.norm_fn, self.stride,
-                          dtype=self.dtype, dual=self.dual, name="res1")(x)
+                          dtype=self.dtype, dual=self.dual,
+                          save_tag=self.save_tag, name="res1")(x)
         x = ResidualBlock(self.dim, self.norm_fn, 1, dtype=self.dtype,
-                          dual=self.dual, name="res2")(x)
+                          dual=self.dual, save_tag=self.save_tag,
+                          name="res2")(x)
         return x
 
 
@@ -108,8 +111,14 @@ class MultiBasicEncoder(nn.Module):
         # output removes the recompute entirely. No-ops without the policy.
         x = checkpoint_name(x, "enc_conv1")
 
+        # 'enc_inner' tags the full-resolution stage's intra-block
+        # activations: its four 64-channel convs at H×W are the most
+        # expensive recompute of the frame-remat backward (PERF.md per-op
+        # trace); saving ~6 bf16 (2B,H,W,64) tensors per frame removes them
+        # from the replay entirely. Active only when the remat policy names
+        # the tag.
         x = _Stage(64, self.norm_fn, 1, dtype=self.dtype, dual=dual,
-                   name="layer1")(x)
+                   save_tag="enc_inner", name="layer1")(x)
         x = checkpoint_name(x, "enc_layer1")
         x = _Stage(96, self.norm_fn, 2, dtype=self.dtype, dual=dual,
                    name="layer2")(x)

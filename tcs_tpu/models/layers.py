@@ -143,6 +143,14 @@ class Conv(nn.Module):
     torch_bias: bool = True
     dtype: Any = jnp.float32
     dual: int = 1
+    # Round the input-channel count up to a multiple of this by zero-padding
+    # the input AND the kernel's input rows at apply time (params / checkpoint
+    # layout unchanged, numerics exact — the padded rows multiply zeros).
+    # Motivation: the motion encoder's 36-channel corr-lookup conv backward
+    # lowers to VPU loop fusions + relayout copies on the unaligned minor dim
+    # (~48 ms/step of the TartanAir train step); born-aligned inputs keep the
+    # conv and its transpose on the MXU.
+    in_pad: int = 1
     # Space-to-depth factor (stride-1, 'same'-padding convs only). The
     # logical (k, k, Ci, Co) weights are rearranged at apply time into an
     # equivalent block conv on the (H/s, W/s, s²·Ci) space-to-depth layout —
@@ -187,6 +195,25 @@ class Conv(nn.Module):
                     f"only (got stride={self.stride}, padding={pad}, "
                     f"kernel={self.kernel})")
             return self._apply_s2d(m, x, ci)
+        if self.in_pad > 1 and ci % self.in_pad:
+            if self.dual != 1:
+                raise ValueError(
+                    f"Conv: in_pad={self.in_pad} does not compose with "
+                    f"dual={self.dual} channel packing")
+            cp = (-ci) % self.in_pad
+            _ = m(jnp.zeros((1, 1, 1, ci), x.dtype))
+            kernel = m.variables["params"]["kernel"]  # (k, k, ci, co)
+            kpad = jnp.pad(kernel, ((0, 0), (0, 0), (0, cp), (0, 0)))
+            xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))
+            y = jax.lax.conv_general_dilated(
+                xpad.astype(self.dtype), kpad.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                y = y + m.variables["params"]["bias"].astype(self.dtype)
+            return y
         if self.dual == 1:
             return m(x)
         # Create/read the child's params through a zero-cost dummy call (XLA
@@ -325,6 +352,12 @@ class ResidualBlock(nn.Module):
     kernel_init: Callable = kaiming_normal_fan_out
     dtype: Any = jnp.float32
     dual: int = 1
+    # checkpoint_name tag applied to the intra-block activations (the
+    # conv2 input and the block output). Under frame remat with a
+    # save_only_these_names policy this removes the block's convs from the
+    # backward's recompute entirely — their weight gradients then read saved
+    # activations. No-op without a matching policy tag.
+    save_tag: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -337,6 +370,9 @@ class ResidualBlock(nn.Module):
                  dtype=self.dtype, dual=self.dual, name="conv1")(x)
         y = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm1")(y)
         y = nn.relu(y)
+        if self.save_tag:
+            from jax.ad_checkpoint import checkpoint_name
+            y = checkpoint_name(y, self.save_tag)
         y = Conv(self.planes, 3, 1, 1, kernel_init=self.kernel_init,
                  dtype=self.dtype, dual=self.dual, name="conv2")(y)
         y = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm2")(y)
@@ -346,7 +382,11 @@ class ResidualBlock(nn.Module):
             x = Conv(self.planes, 1, self.stride, 0, kernel_init=self.kernel_init,
                      dtype=self.dtype, dual=self.dual, name="downsample")(x)
             x = Norm(self.norm_fn, self.planes, dtype=self.dtype, name="norm3")(x)
-        return nn.relu(x + y)
+        out = nn.relu(x + y)
+        if self.save_tag:
+            from jax.ad_checkpoint import checkpoint_name
+            out = checkpoint_name(out, self.save_tag)
+        return out
 
 
 class BasicConvIN(nn.Module):

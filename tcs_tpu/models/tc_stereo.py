@@ -154,7 +154,8 @@ class RefinementCell(nn.Module):
 
         update_block = BasicMultiUpdateBlock(
             hidden_dims=cfg.hidden_dims, n_gru_layers=cfg.n_gru_layers,
-            dtype=dt, flow_stem_s2d=cfg.flow_stem_s2d, name="update_block",
+            dtype=dt, flow_stem_s2d=cfg.flow_stem_s2d,
+            corr_pad=cfg.corr_pad, name="update_block",
         )
         if cfg.slow_fast_gru and cfg.n_gru_layers == 3:
             net_list = update_block(

@@ -151,11 +151,16 @@ class BasicMotionEncoder(nn.Module):
     # 1 of 128 MXU lanes otherwise; at 1/4-resolution the s2d/d2s reshapes
     # are on tiny tensors, so the block-conv form (layers.Conv.s2d) wins.
     flow_stem_s2d: int = 1
+    # Zero-pad the corr-lookup's 36-channel input (and convc1's kernel rows)
+    # up to a multiple of this at apply time (layers.Conv.in_pad — exact
+    # numerics, params unchanged, keeps the conv's backward on the MXU).
+    corr_pad: int = 1
 
     @nn.compact
     def __call__(self, flow, corr):
         cor = nn.relu(Conv(64, 1, 1, 0, kernel_init=kaiming_normal_fan_in,
-                           dtype=self.dtype, name="convc1")(corr))
+                           dtype=self.dtype, in_pad=self.corr_pad,
+                           name="convc1")(corr))
         cor = nn.relu(Conv(64, 3, 1, 1, kernel_init=kaiming_normal_fan_in,
                            dtype=self.dtype, name="convc2")(cor))
         flo = nn.relu(Conv(64, 7, 1, 3, kernel_init=kaiming_normal_fan_in,
@@ -180,10 +185,12 @@ class BasicMultiUpdateBlock(nn.Module):
     n_gru_layers: int = 3
     dtype: Any = jnp.float32
     flow_stem_s2d: int = 1
+    corr_pad: int = 1
 
     def setup(self):
         self.encoder = BasicMotionEncoder(dtype=self.dtype,
-                                          flow_stem_s2d=self.flow_stem_s2d)
+                                          flow_stem_s2d=self.flow_stem_s2d,
+                                          corr_pad=self.corr_pad)
         # hidden_dims indexing mirrors the reference: [coarse, mid, fine].
         self.gru_fine = ConvGRU(self.hidden_dims[2], dtype=self.dtype)
         self.gru_mid = ConvGRU(self.hidden_dims[1], dtype=self.dtype)

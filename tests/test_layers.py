@@ -146,3 +146,26 @@ def test_packed_dual_encoder_equivalent():
         for (a1, a2), (b1, b2) in zip(outs, ref_outs):
             close(a1, b1)
             close(a2, b2)
+
+
+def test_conv_in_pad_matches_dense(rng):
+    """layers.Conv(in_pad=p): zero-padding input channels + kernel rows at
+    apply time must reproduce the plain conv bit-for-bit from the SAME stored
+    parameters (the padded rows multiply zeros), including gradients."""
+    for p, k, ci, co in ((128, 1, 36, 64), (8, 3, 36, 16), (64, 1, 64, 8)):
+        x = rng.normal(size=(2, 6, 10, ci)).astype(np.float32)
+        dense = layers.Conv(features=co, kernel=k, stride=1, padding=k // 2)
+        fast = layers.Conv(features=co, kernel=k, stride=1, padding=k // 2,
+                           in_pad=p)
+        params = dense.init(jax.random.PRNGKey(2), jnp.asarray(x))
+        ref = dense.apply(params, jnp.asarray(x))
+        out = fast.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+        # gradient path: same cotangent -> same param gradient shapes/values
+        gref = jax.grad(lambda pr: jnp.sum(dense.apply(pr, jnp.asarray(x)) ** 2))(params)
+        gout = jax.grad(lambda pr: jnp.sum(fast.apply(pr, jnp.asarray(x)) ** 2))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                    np.asarray(b), atol=2e-4),
+            gref, gout)

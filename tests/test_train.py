@@ -519,3 +519,30 @@ def test_temporal_state_beats_reset_with_trained_weights():
     epe_carried = float(np.mean(carried_errs))
     epe_reset = float(np.mean(reset_errs))
     assert epe_carried < epe_reset, (carried_errs, reset_errs)
+
+
+def test_corr_pad_and_enc_inner_saves_match_baseline(train_setup):
+    """ModelConfig.corr_pad (lane-aligned corr-lookup channels) and the
+    'enc_inner' remat-save tag are layout/memory choices: losses and
+    gradients must match the defaults exactly."""
+    import dataclasses
+
+    cfg, model, ts, batch = train_setup
+    step = make_train_step(model, cfg, donate=False)
+    _, m_ref = step(ts, batch)
+
+    mcfg = dataclasses.replace(cfg.model, corr_pad=128)
+    cfg2 = dataclasses.replace(
+        cfg, model=mcfg,
+        remat_save_names=cfg.remat_save_names + ("enc_inner", "enc_conv1",
+                                                 "enc_layer1"))
+    model2 = TCStereo(cfg=mcfg)
+    ts2 = TrainState.create(apply_fn=model2.apply, params=ts.params,
+                            tx=make_optimizer(cfg2))
+    step2 = make_train_step(model2, cfg2, donate=False)
+    _, m_new = step2(ts2, batch)
+
+    np.testing.assert_allclose(float(m_new["live_loss"]),
+                               float(m_ref["live_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_new["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-4)
