@@ -90,6 +90,11 @@ def main():
     p.add_argument("--splat-backend", default=None,
                    help="override ModelConfig.splat_backend (xla | "
                         "xla_gatherbwd | xla_fused | xla_aligned)")
+    p.add_argument("--encode-chunk-frames", type=int, default=1,
+                   help="frames per hoisted-encoder call")
+    p.add_argument("--encode-outside-scan", action="store_true",
+                   help="hoist the feature encoder out of the frame scan "
+                        "(TrainConfig.encode_outside_scan)")
     p.add_argument("--corr-pad", type=int, default=None,
                    help="override ModelConfig.corr_pad (zero-pad the corr "
                         "lookup features to a lane-aligned channel count)")
@@ -127,6 +132,8 @@ def main():
         save_names = tuple(s for s in args.remat_save.split(",") if s)
     cfg = TrainConfig(train_iters=args.iters, batch_size=B,
                       image_size=(H, W), frame_length=T_len,
+                      encode_outside_scan=args.encode_outside_scan,
+                      encode_chunk_frames=args.encode_chunk_frames,
                       remat_frames=mode == "frame",
                       remat_save_names=save_names,
                       frame_unroll=args.frame_unroll,

@@ -180,6 +180,18 @@ class TrainConfig:
     # the exact 480×640 recipe crop.
     remat_save_names: Tuple[str, ...] = ("iter_carry", "iter_consts",
                                          "frame_mid", "loss_gt")
+    # Run the image->feature encoder ONCE over the (B*T) frame batch OUTSIDE
+    # the temporal frame scan (models.TCSFeatureEncoder; exact same
+    # parameters/math — conv stacks are per-sample). Inside the scan's
+    # while-loop + remat body the encoder's full-resolution convs measure
+    # ~3x their isolated cost and are recomputed per frame in the backward
+    # (PERF.md per-op trace); hoisted, they run batched with one replay.
+    encode_outside_scan: bool = False
+    # Frames per hoisted-encoder call (encode_outside_scan): bounds the
+    # backward-replay transient (one full-resolution trunk of B*nc images
+    # alive at once). The full-window batch (nc = frame_length) overflowed
+    # HBM by ~0.7 GB at the TartanAir recipe.
+    encode_chunk_frames: int = 1
     # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.

@@ -1,1 +1,6 @@
-from tcs_tpu.models.tc_stereo import TCStereo, TemporalState, CameraParams  # noqa: F401
+from tcs_tpu.models.tc_stereo import (  # noqa: F401
+    CameraParams,
+    TCSFeatureEncoder,
+    TCStereo,
+    TemporalState,
+)

@@ -210,6 +210,88 @@ class RefinementCell(nn.Module):
         return (net_list, refined_disp), ys
 
 
+def _extract_features(cfg: ModelConfig, dt, img1, img2, packed: bool,
+                      remat_encoder: bool):
+    """Image→feature stage: context ladder + matching features.
+
+    Must run inside a compact module scope; defines children named ``cnet`` /
+    ``conv2`` / ``fnet``, so :class:`TCStereo` and :class:`TCSFeatureEncoder`
+    share one parameter subtree. ``img1``/``img2`` are normalized (dt) images.
+    Returns ``(cnet_list, fmap1, fmap2)`` with fmaps still in ``dt``.
+    """
+    if cfg.shared_backbone:
+        # The packed (channel-stacked, block-diagonal) trunk and the
+        # batch-stacked trunk share the SAME parameters (layers.Conv
+        # ``dual`` expands weights at apply time) and are numerically
+        # identical, so the layout is chosen per mode by measurement:
+        # packed wins at B=1 inference (~1.6× encoder, 128-lane use at
+        # the 64-ch stages); batch-stacked wins in training at recipe
+        # batch sizes (2064 → 1739 ms/step on TartanAir b4 — the packed
+        # convs do 2× the MACs and reformat poorly in the remat
+        # backward).
+        enc_cls = MultiBasicEncoder
+        if remat_encoder:
+            # Checkpoint the encoder as its own remat segment: the
+            # backward recomputes just the trunk (instead of the whole
+            # frame under TrainConfig.remat_frames) and only the 1/4-res
+            # outputs are saved. static_argnums counts self as 0.
+            enc_cls = nn.checkpoint(MultiBasicEncoder, prevent_cse=False,
+                                    static_argnums=(2, 3))
+        cnet_list, trunk = enc_cls(
+            output_dims=(cfg.hidden_dims, cfg.context_dims),
+            norm_fn=cfg.context_norm, dtype=dt,
+            packed_dual=packed,
+            conv1_s2d=cfg.conv1_s2d,
+            name="cnet",
+        )(jnp.concatenate([img1, img2], axis=0), True,
+          cfg.n_gru_layers)
+        fmap = SharedBackboneHead(dtype=dt, name="conv2")(trunk)
+        fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
+    else:
+        cnet_list, _ = MultiBasicEncoder(
+            output_dims=(cfg.hidden_dims, cfg.context_dims),
+            norm_fn=cfg.context_norm, dtype=dt,
+            conv1_s2d=cfg.conv1_s2d, name="cnet",
+        )(img1, dual_inp=False, num_layers=cfg.n_gru_layers)
+        fnet = BasicEncoder(output_dim=256, norm_fn="instance",
+                            downsample=cfg.n_downsample, dtype=dt,
+                            name="fnet")
+        fmap1 = fnet(img1)
+        fmap2 = fnet(img2)
+    return cnet_list, fmap1, fmap2
+
+
+class TCSFeatureEncoder(nn.Module):
+    """The image→feature stage of :class:`TCStereo` as a standalone module.
+
+    Shares TCStereo's parameter subtree (children are named identically:
+    ``cnet``, ``conv2``, ``fnet``), so ``TCSFeatureEncoder(cfg).apply`` on a
+    subset of — or the full — TCStereo variables computes exactly the features
+    the full model would. Exists so the training step can hoist feature
+    extraction OUT of the temporal frame scan and run it once, batched over
+    all frames: inside the scan's while-loop + remat body the encoder's
+    full-resolution convs measure ~3× their isolated cost (layout pressure;
+    PERF.md), and their weight gradients accumulate per frame instead of
+    contracting once over the (2·B·T) batch.
+    """
+
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, image1, image2):
+        """(N, H, W, 3) raw [0,255] image pairs → (cnet_list, fmap1, fmap2).
+
+        Always the batch-stacked (training) trunk with no inner remat: the
+        caller controls rematerialisation of this stage as a whole.
+        """
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        img1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
+        img2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
+        return _extract_features(cfg, dt, img1, img2, packed=False,
+                                 remat_encoder=False)
+
+
 class TCStereo(nn.Module):
     """Iterative temporally-consistent stereo network."""
 
@@ -217,7 +299,8 @@ class TCStereo(nn.Module):
 
     @nn.compact
     def __call__(self, image1, image2, state: TemporalState, cam: CameraParams,
-                 T, iters: int = 5, test_mode: bool = False) -> TCStereoOutput:
+                 T, iters: int = 5, test_mode: bool = False,
+                 features=None) -> TCStereoOutput:
         """Per-frame forward pass.
 
         Args:
@@ -228,6 +311,10 @@ class TCStereo(nn.Module):
           T: (B, 4, 4) current world→cam pose.
           iters: GRU iterations (static).
           test_mode: static; skips per-iteration training outputs.
+          features: optional precomputed ``(cnet_list, fmap1, fmap2)`` from
+            :class:`TCSFeatureEncoder` (same parameters); when given, the
+            encoder stage is skipped entirely — used by the training step to
+            hoist feature extraction out of the frame scan.
         """
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
@@ -245,49 +332,17 @@ class TCStereo(nn.Module):
         # bilinear-sampler transposes — from the training backward.
         state = jax.tree_util.tree_map(jax.lax.stop_gradient, state)
 
-        img1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
-        img2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
-
         # --- context + matching features (bf16 conv stacks) ---
-        if cfg.shared_backbone:
-            # The packed (channel-stacked, block-diagonal) trunk and the
-            # batch-stacked trunk share the SAME parameters (layers.Conv
-            # ``dual`` expands weights at apply time) and are numerically
-            # identical, so the layout is chosen per mode by measurement:
-            # packed wins at B=1 inference (~1.6× encoder, 128-lane use at
-            # the 64-ch stages); batch-stacked wins in training at recipe
-            # batch sizes (2064 → 1739 ms/step on TartanAir b4 — the packed
-            # convs do 2× the MACs and reformat poorly in the remat
-            # backward).
-            enc_cls = MultiBasicEncoder
-            if cfg.remat_encoder and not test_mode:
-                # Checkpoint the encoder as its own remat segment: the
-                # backward recomputes just the trunk (instead of the whole
-                # frame under TrainConfig.remat_frames) and only the 1/4-res
-                # outputs are saved. static_argnums counts self as 0.
-                enc_cls = nn.checkpoint(MultiBasicEncoder, prevent_cse=False,
-                                        static_argnums=(2, 3))
-            cnet_list, trunk = enc_cls(
-                output_dims=(cfg.hidden_dims, cfg.context_dims),
-                norm_fn=cfg.context_norm, dtype=dt,
-                packed_dual=cfg.packed_dual_encoder and test_mode,
-                conv1_s2d=cfg.conv1_s2d,
-                name="cnet",
-            )(jnp.concatenate([img1, img2], axis=0), True,
-              cfg.n_gru_layers)
-            fmap = SharedBackboneHead(dtype=dt, name="conv2")(trunk)
-            fmap1, fmap2 = jnp.split(fmap, 2, axis=0)
+        if features is None:
+            img1 = (2.0 * (image1 / 255.0) - 1.0).astype(dt)
+            img2 = (2.0 * (image2 / 255.0) - 1.0).astype(dt)
+            cnet_list, fmap1, fmap2 = _extract_features(
+                cfg, dt, img1, img2,
+                packed=cfg.packed_dual_encoder and test_mode,
+                remat_encoder=cfg.remat_encoder and not test_mode,
+            )
         else:
-            cnet_list, _ = MultiBasicEncoder(
-                output_dims=(cfg.hidden_dims, cfg.context_dims),
-                norm_fn=cfg.context_norm, dtype=dt,
-                conv1_s2d=cfg.conv1_s2d, name="cnet",
-            )(img1, dual_inp=False, num_layers=cfg.n_gru_layers)
-            fnet = BasicEncoder(output_dim=256, norm_fn="instance",
-                                downsample=cfg.n_downsample, dtype=dt,
-                                name="fnet")
-            fmap1 = fnet(img1)
-            fmap2 = fnet(img2)
+            cnet_list, fmap1, fmap2 = features
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
 

@@ -26,7 +26,12 @@ from flax.training import train_state as flax_train_state
 from tcs_tpu import losses as L
 from tcs_tpu.config import TrainConfig
 from tcs_tpu.geometry import disp2disp_gradient_xy
-from tcs_tpu.models.tc_stereo import CameraParams, TCStereo, TemporalState
+from tcs_tpu.models.tc_stereo import (
+    CameraParams,
+    TCSFeatureEncoder,
+    TCStereo,
+    TemporalState,
+)
 
 
 class FrameBatch(struct.PyTreeNode):
@@ -123,10 +128,61 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
         cam = CameraParams(K=batch.K, baseline=batch.baseline)
         init_state = TemporalState.zeros(B, H, W, cfg.model)
 
-        def frame_step(state, frame: FrameBatch):
+        feats_t = None
+        if cfg.encode_outside_scan:
+            # Hoist the image→feature stage out of the frame scan: it depends
+            # only on the images, and inside the scan's while-loop + remat
+            # body its full-resolution convs measure ~3× their isolated cost
+            # and their weight gradients accumulate per frame (PERF.md). Here
+            # it runs ONCE over the (B·T) frame batch; jax.checkpoint keeps
+            # only its (1/4-res and coarser) outputs for the backward, which
+            # replays the batched trunk once instead of T times.
+            enc_params = {
+                "params": {
+                    k: v for k, v in params["params"].items()
+                    if k in ("cnet", "conv2", "fnet")
+                }
+            }
+
+            # Chunked over frames: the full (B·T)-batch replay transient
+            # (~4 GB of full-resolution trunk intermediates at the TartanAir
+            # recipe) overflows HBM, and independent per-chunk checkpoint
+            # calls OVERLAP their backward replays (measured 29.5 G peak —
+            # XLA schedules dataflow-independent replays concurrently). A
+            # dedicated lax.scan over chunks serializes them: peak transient
+            # is ONE chunk's trunk, forward and backward.
+            nc = min(cfg.encode_chunk_frames, Tn)
+            while Tn % nc:
+                nc -= 1
+            n_chunks = Tn // nc
+
+            def to_chunks(x):
+                y = x.reshape(B, n_chunks, nc, *x.shape[2:])
+                y = jnp.moveaxis(y, 1, 0)  # (n_chunks, B, nc, ...)
+                return y.reshape(n_chunks, B * nc, *x.shape[2:])
+
+            def enc_body(carry, ims):
+                f = TCSFeatureEncoder(cfg.model).apply(enc_params, *ims)
+                return carry, f
+
+            enc_body = jax.checkpoint(enc_body, prevent_cse=False)
+            _, feats_c = jax.lax.scan(
+                enc_body, (),
+                (to_chunks(batch.image1), to_chunks(batch.image2)))
+
+            def to_frames(x):
+                y = x.reshape(n_chunks, B, nc, *x.shape[2:])
+                y = jnp.moveaxis(y, 2, 1)  # (n_chunks, nc, B, ...)
+                return y.reshape(Tn, B, *x.shape[2:])
+
+            # (T, B, ...) scan inputs.
+            feats_t = jax.tree_util.tree_map(to_frames, feats_c)
+
+        def frame_step(state, xs):
+            frame, feat = xs
             out = model.apply(
                 params, frame.image1, frame.image2, state, cam, frame.T,
-                iters=cfg.train_iters, test_mode=False,
+                iters=cfg.train_iters, test_mode=False, features=feat,
             )
             floss, metrics = frame_losses(out, frame, cfg)
             return out.new_state, (floss, metrics)
@@ -146,7 +202,7 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
                        batch.T),
         )
         _, (frame_loss, metrics) = jax.lax.scan(
-            frame_step, init_state, frames,
+            frame_step, init_state, (frames, feats_t),
             unroll=min(cfg.frame_unroll, cfg.frame_length))
         loss = jnp.mean(frame_loss)  # Σ/frame_length
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)

@@ -546,3 +546,23 @@ def test_corr_pad_and_enc_inner_saves_match_baseline(train_setup):
                                float(m_ref["live_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_new["grad_norm"]),
                                float(m_ref["grad_norm"]), rtol=1e-4)
+
+
+def test_encode_outside_scan_matches_baseline(train_setup):
+    """TrainConfig.encode_outside_scan hoists the feature encoder out of the
+    frame scan (batched over B*T via TCSFeatureEncoder — same parameter
+    subtree); losses and gradients must match the in-scan encoder path."""
+    import dataclasses
+
+    cfg, model, ts, batch = train_setup
+    step = make_train_step(model, cfg, donate=False)
+    _, m_ref = step(ts, batch)
+
+    cfg2 = dataclasses.replace(cfg, encode_outside_scan=True)
+    step2 = make_train_step(model, cfg2, donate=False)
+    _, m_new = step2(ts, batch)
+
+    np.testing.assert_allclose(float(m_new["live_loss"]),
+                               float(m_ref["live_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_new["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-3)
