@@ -90,11 +90,17 @@ def main():
     p.add_argument("--splat-backend", default=None,
                    help="override ModelConfig.splat_backend (xla | "
                         "xla_gatherbwd | xla_fused | xla_aligned)")
-    p.add_argument("--encode-chunk-frames", type=int, default=1,
-                   help="frames per hoisted-encoder call")
-    p.add_argument("--encode-outside-scan", action="store_true",
+    p.add_argument("--encode-chunk-frames", type=int, default=None,
+                   help="frames per hoisted-encoder call (default: config)")
+    import argparse as _ap
+    p.add_argument("--losses-outside-scan", action=_ap.BooleanOptionalAction,
+                   default=None,
+                   help="hoist mask head/upsample/losses out of the frame "
+                        "scan (TrainConfig.losses_outside_scan; default ON)")
+    p.add_argument("--encode-outside-scan", action=_ap.BooleanOptionalAction,
+                   default=None,
                    help="hoist the feature encoder out of the frame scan "
-                        "(TrainConfig.encode_outside_scan)")
+                        "(TrainConfig.encode_outside_scan; default ON)")
     p.add_argument("--corr-pad", type=int, default=None,
                    help="override ModelConfig.corr_pad (zero-pad the corr "
                         "lookup features to a lane-aligned channel count)")
@@ -132,8 +138,12 @@ def main():
         save_names = tuple(s for s in args.remat_save.split(",") if s)
     cfg = TrainConfig(train_iters=args.iters, batch_size=B,
                       image_size=(H, W), frame_length=T_len,
-                      encode_outside_scan=args.encode_outside_scan,
-                      encode_chunk_frames=args.encode_chunk_frames,
+                      **({} if args.encode_outside_scan is None else
+                         {"encode_outside_scan": args.encode_outside_scan}),
+                      **({} if args.encode_chunk_frames is None else
+                         {"encode_chunk_frames": args.encode_chunk_frames}),
+                      **({} if args.losses_outside_scan is None else
+                         {"losses_outside_scan": args.losses_outside_scan}),
                       remat_frames=mode == "frame",
                       remat_save_names=save_names,
                       frame_unroll=args.frame_unroll,

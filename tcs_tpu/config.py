@@ -180,18 +180,26 @@ class TrainConfig:
     # the exact 480×640 recipe crop.
     remat_save_names: Tuple[str, ...] = ("iter_carry", "iter_consts",
                                          "frame_mid", "loss_gt")
-    # Run the image->feature encoder ONCE over the (B*T) frame batch OUTSIDE
-    # the temporal frame scan (models.TCSFeatureEncoder; exact same
-    # parameters/math — conv stacks are per-sample). Inside the scan's
-    # while-loop + remat body the encoder's full-resolution convs measure
-    # ~3x their isolated cost and are recomputed per frame in the backward
-    # (PERF.md per-op trace); hoisted, they run batched with one replay.
-    encode_outside_scan: bool = False
+    # Run the image->feature encoder OUTSIDE the temporal frame scan
+    # (models.TCSFeatureEncoder; exact same parameters/math — conv stacks
+    # are per-sample), in a dedicated chunk scan. Measured 1777.9 → 1677.6
+    # ms/step on the TartanAir recipe (chunk=2): the hoisted encoder avoids
+    # the frame scan's per-frame weight-gradient accumulation and the remat
+    # replay's reformat-heavy layouts (PERF.md).
+    encode_outside_scan: bool = True
     # Frames per hoisted-encoder call (encode_outside_scan): bounds the
     # backward-replay transient (one full-resolution trunk of B*nc images
     # alive at once). The full-window batch (nc = frame_length) overflowed
     # HBM by ~0.7 GB at the TartanAir recipe.
-    encode_chunk_frames: int = 1
+    encode_chunk_frames: int = 2
+    # Hoist the convex-upsample mask head, full-resolution upsampling and the
+    # four losses OUT of the frame scan: the scan emits q-resolution
+    # per-iteration tensors only, and the head/upsample/losses run once,
+    # batched over (frames*iterations*batch), with per-frame losses vmapped
+    # so masked-mean denominators stay per-frame (reference semantics).
+    # Measured 1777.9 → 1705.2 alone, 1598.9 combined with
+    # encode_outside_scan (TartanAir recipe, device timeline).
+    losses_outside_scan: bool = True
     # Unroll factor of the frame lax.scan (1 = rolled loop). Unrolling lets
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.

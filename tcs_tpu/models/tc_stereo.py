@@ -103,7 +103,7 @@ class TCStereoOutput(struct.PyTreeNode):
     """Forward outputs. Training fields are None in test mode."""
 
     # Full-resolution flow of the final iteration (clipped ≤ 0).
-    flow: jax.Array
+    flow: Optional[jax.Array]
     # Per-iteration stacked predictions — train mode only.
     flow_predictions: Optional[Tuple[jax.Array, jax.Array]]  # (iters,B,H,W,1) ×2
     flow_q_predictions: Optional[Tuple[jax.Array, jax.Array]]  # (iters,B,h,w,1) ×2
@@ -112,6 +112,10 @@ class TCStereoOutput(struct.PyTreeNode):
     flow_mono: Optional[jax.Array]  # (B,H,W,1) upsampled −disp_mono
     cost_volume: Optional[jax.Array]  # (B,h,w,W2) masked
     new_state: TemporalState
+    # raw_outputs=True only: pre-upsample per-iteration tensors
+    # (disp_q_seq, refined_seq, grads_seq, fused_seq, disp_init, disp_mono),
+    # for the training step's hoisted mask-head/upsample/loss stage.
+    raw: Optional[Tuple[jax.Array, ...]] = None
 
 
 class RefinementCell(nn.Module):
@@ -292,6 +296,26 @@ class TCSFeatureEncoder(nn.Module):
                                  remat_encoder=False)
 
 
+class TCSUpsampleMask(nn.Module):
+    """The convex-upsample mask head as a standalone module.
+
+    Shares TCStereo's parameter subtree (child named ``upsample_mask_head``),
+    so the training step can hoist the mask head + convex upsampling + losses
+    out of the temporal frame scan and run them once, batched over
+    (frames · iterations · batch) — see ``TrainConfig.losses_outside_scan``.
+    """
+
+    cfg: ModelConfig = ModelConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fused):
+        return UpsampleMaskHead(
+            downsample_factor=self.cfg.downsample_factor, dtype=self.dtype,
+            name="upsample_mask_head",
+        )(fused)
+
+
 class TCStereo(nn.Module):
     """Iterative temporally-consistent stereo network."""
 
@@ -300,7 +324,7 @@ class TCStereo(nn.Module):
     @nn.compact
     def __call__(self, image1, image2, state: TemporalState, cam: CameraParams,
                  T, iters: int = 5, test_mode: bool = False,
-                 features=None) -> TCStereoOutput:
+                 features=None, raw_outputs: bool = False) -> TCStereoOutput:
         """Per-frame forward pass.
 
         Args:
@@ -521,6 +545,24 @@ class TCStereo(nn.Module):
                 flow_mono=None,
                 cost_volume=None,
                 new_state=new_state,
+            )
+
+        if raw_outputs:
+            # Hoisted-loss training path: the mask head, convex upsampling
+            # and loss evaluation run OUTSIDE the frame scan (train_step),
+            # batched over frames — here only the per-iteration q-resolution
+            # tensors are returned.
+            return TCStereoOutput(
+                flow=None,
+                flow_predictions=None,
+                flow_q_predictions=None,
+                disp_grad_q_predictions=None,
+                flow_init=None,
+                flow_mono=None,
+                cost_volume=cost_volume,
+                new_state=new_state,
+                raw=(disp_q_seq, refined_seq, grads_seq, fused_seq,
+                     disp_init, disp_mono),
             )
 
         # Train: fold the iteration axis into the batch so the mask head and

@@ -30,8 +30,10 @@ from tcs_tpu.models.tc_stereo import (
     CameraParams,
     TCSFeatureEncoder,
     TCStereo,
+    TCSUpsampleMask,
     TemporalState,
 )
+from tcs_tpu.ops.sampler import convex_upsample, resize_bilinear
 
 
 class FrameBatch(struct.PyTreeNode):
@@ -68,7 +70,22 @@ class TrainState(flax_train_state.TrainState):
 
 def frame_losses(out, frame: FrameBatch, cfg: TrainConfig):
     """All four losses for one frame (reference train_stereo.py:363-399)."""
-    weights = L.loss_weights(out.flow_predictions[0].shape[0], cfg.loss_gamma)
+    return frame_losses_parts(
+        out.flow_predictions, out.flow_q_predictions,
+        out.disp_grad_q_predictions, out.flow_init, out.flow_mono,
+        out.cost_volume, frame, cfg,
+    )
+
+
+def frame_losses_parts(flow_predictions, flow_q_predictions,
+                       disp_grad_q_predictions, flow_init, flow_mono,
+                       cost_volume, frame: FrameBatch, cfg: TrainConfig):
+    """Loss body on bare prediction tensors (vmapped over frames by the
+    hoisted-loss path; see :func:`frame_losses` for the Output-struct form).
+    Masked means are normalised by each frame's OWN valid count (matching the
+    reference's per-frame loss accumulation), which is why the hoisted path
+    vmaps this per frame instead of folding frames into the batch axis."""
+    weights = L.loss_weights(flow_predictions[0].shape[0], cfg.loss_gamma)
     scale = cfg.model.scale_rate
 
     from jax.ad_checkpoint import checkpoint_name
@@ -92,19 +109,19 @@ def frame_losses(out, frame: FrameBatch, cfg: TrainConfig):
     dense_gt = cfg.train_dataset != "kitti_raw"
 
     seq_loss, seq_metrics = L.sequence_loss(
-        out.flow_mono, out.flow_init, out.flow_predictions, frame.flow, valid,
+        flow_mono, flow_init, flow_predictions, frame.flow, valid,
         weights,
     )
     in_loss, init_metrics = L.init_loss(
-        out.cost_volume, frame.flow, valid, k=cfg.init_k, scale=scale,
+        cost_volume, frame.flow, valid, k=cfg.init_k, scale=scale,
         threshold=cfg.model.init_thres,
     )
     norm_loss, norm_metrics = L.disp_normal_loss(
-        out.flow_q_predictions, norm_gt, valid, weights, scale=scale,
+        flow_q_predictions, norm_gt, valid, weights, scale=scale,
         dense_gt=dense_gt,
     )
     grad_loss, grad_metrics = L.disp_grad_loss(
-        out.disp_grad_q_predictions, grad_gt, valid, weights, scale=scale,
+        disp_grad_q_predictions, grad_gt, valid, weights, scale=scale,
         dense_gt=dense_gt,
     )
     total = (
@@ -178,12 +195,19 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             # (T, B, ...) scan inputs.
             feats_t = jax.tree_util.tree_map(to_frames, feats_c)
 
+        hoist_losses = cfg.losses_outside_scan
+
         def frame_step(state, xs):
             frame, feat = xs
             out = model.apply(
                 params, frame.image1, frame.image2, state, cam, frame.T,
                 iters=cfg.train_iters, test_mode=False, features=feat,
+                raw_outputs=hoist_losses,
             )
+            if hoist_losses:
+                # Mask head / upsampling / losses run after the scan, batched
+                # over frames; the scan emits only q-resolution tensors.
+                return out.new_state, (out.raw, out.cost_volume)
             floss, metrics = frame_losses(out, frame, cfg)
             return out.new_state, (floss, metrics)
 
@@ -201,9 +225,53 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             FrameBatch(batch.image1, batch.image2, batch.flow, batch.valid,
                        batch.T),
         )
-        _, (frame_loss, metrics) = jax.lax.scan(
+        _, ys = jax.lax.scan(
             frame_step, init_state, (frames, feats_t),
             unroll=min(cfg.frame_unroll, cfg.frame_length))
+
+        if hoist_losses:
+            raw, cost_volume = ys
+            (disp_q_seq, refined_seq, grads_seq, fused_seq,
+             disp_init, disp_mono) = raw
+            n_it = cfg.train_iters
+            f = cfg.model.downsample_factor
+            h, w = H // f, W // f
+            dt = jnp.bfloat16 if cfg.model.mixed_precision else jnp.float32
+
+            def fold(x):  # (T, it, B, h, w, c) → (T·it·B, h, w, c)
+                return x.reshape(Tn * n_it * B, *x.shape[3:])
+
+            head_params = {"params": {
+                "upsample_mask_head": params["params"]["upsample_mask_head"]
+            }}
+            up_mask = TCSUpsampleMask(cfg.model, dtype=dt).apply(
+                head_params, fold(fused_seq))
+            flows_up = convex_upsample(
+                fold(-disp_q_seq), jax.lax.stop_gradient(up_mask), f,
+            ).reshape(Tn, n_it, B, H, W, 1)
+            flow_refine_up = convex_upsample(
+                fold(-refined_seq), up_mask, f,
+            ).reshape(Tn, n_it, B, H, W, 1)
+            flow_init_full = -float(f) * resize_bilinear(
+                disp_init.reshape(Tn * B, h, w, 1), (H, W),
+            ).reshape(Tn, B, H, W, 1)
+            flow_mono_full = -float(f) * resize_bilinear(
+                disp_mono.reshape(Tn * B, h, w, 1), (H, W),
+            ).reshape(Tn, B, H, W, 1)
+
+            # Per-frame losses via vmap over the frame axis: masked means
+            # keep each frame's own valid-count denominator (see
+            # frame_losses_parts), exactly like the in-scan path.
+            def per_frame(fu, fru, dq, rf, gr, fi, fm, cv, frame):
+                return frame_losses_parts(
+                    (fu, fru), (-dq, -rf), gr, fi, fm, cv, frame, cfg)
+
+            frame_loss, metrics = jax.vmap(per_frame)(
+                flows_up, flow_refine_up, disp_q_seq, refined_seq,
+                grads_seq, flow_init_full, flow_mono_full, cost_volume,
+                frames)
+        else:
+            frame_loss, metrics = ys
         loss = jnp.mean(frame_loss)  # Σ/frame_length
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         return loss, metrics

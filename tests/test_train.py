@@ -555,13 +555,42 @@ def test_encode_outside_scan_matches_baseline(train_setup):
     import dataclasses
 
     cfg, model, ts, batch = train_setup
-    step = make_train_step(model, cfg, donate=False)
+    cfg_legacy = dataclasses.replace(cfg, encode_outside_scan=False,
+                                     losses_outside_scan=False)
+    step = make_train_step(model, cfg_legacy, donate=False)
     _, m_ref = step(ts, batch)
 
-    cfg2 = dataclasses.replace(cfg, encode_outside_scan=True)
+    cfg2 = dataclasses.replace(cfg, encode_outside_scan=True,
+                               losses_outside_scan=False)
     step2 = make_train_step(model, cfg2, donate=False)
     _, m_new = step2(ts, batch)
 
+    np.testing.assert_allclose(float(m_new["live_loss"]),
+                               float(m_ref["live_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_new["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-3)
+
+
+def test_losses_outside_scan_matches_baseline(train_setup):
+    """TrainConfig.losses_outside_scan hoists the mask head / upsampling /
+    losses out of the frame scan (raw_outputs model path + vmapped per-frame
+    losses); every loss and metric must match the in-scan path."""
+    import dataclasses
+
+    cfg, model, ts, batch = train_setup
+    cfg_legacy = dataclasses.replace(cfg, encode_outside_scan=False,
+                                     losses_outside_scan=False)
+    step = make_train_step(model, cfg_legacy, donate=False)
+    _, m_ref = step(ts, batch)
+
+    cfg2 = dataclasses.replace(cfg, losses_outside_scan=True,
+                               encode_outside_scan=True)
+    step2 = make_train_step(model, cfg2, donate=False)
+    _, m_new = step2(ts, batch)
+
+    for k in sorted(m_ref):
+        np.testing.assert_allclose(float(m_new[k]), float(m_ref[k]),
+                                   rtol=5e-3, err_msg=k)
     np.testing.assert_allclose(float(m_new["live_loss"]),
                                float(m_ref["live_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_new["grad_norm"]),
