@@ -90,6 +90,10 @@ def main():
     p.add_argument("--splat-backend", default=None,
                    help="override ModelConfig.splat_backend (xla | "
                         "xla_gatherbwd | xla_fused | xla_aligned)")
+    p.add_argument("--encode-save", default=None,
+                   help="comma-separated checkpoint_name tags saved inside "
+                        "the hoisted encoder remat (TrainConfig."
+                        "encode_save_names)")
     p.add_argument("--encode-chunk-frames", type=int, default=None,
                    help="frames per hoisted-encoder call (default: config)")
     import argparse as _ap
@@ -142,6 +146,9 @@ def main():
                          {"encode_outside_scan": args.encode_outside_scan}),
                       **({} if args.encode_chunk_frames is None else
                          {"encode_chunk_frames": args.encode_chunk_frames}),
+                      **({} if args.encode_save is None else
+                         {"encode_save_names": tuple(
+                             s for s in args.encode_save.split(",") if s)}),
                       **({} if args.losses_outside_scan is None else
                          {"losses_outside_scan": args.losses_outside_scan}),
                       remat_frames=mode == "frame",

@@ -192,6 +192,11 @@ class TrainConfig:
     # alive at once). The full-window batch (nc = frame_length) overflowed
     # HBM by ~0.7 GB at the TartanAir recipe.
     encode_chunk_frames: int = 2
+    # checkpoint_name tags to SAVE inside the hoisted encoder's remat
+    # (instead of replaying the trunk in its backward): 'enc_conv1',
+    # 'enc_inner', 'enc_layer1'..'enc_layer3'. Empty = plain checkpoint
+    # (save only chunk outputs, replay the trunk once per chunk).
+    encode_save_names: Tuple[str, ...] = ()
     # Hoist the convex-upsample mask head, full-resolution upsampling and the
     # four losses OUT of the frame scan: the scan emits q-resolution
     # per-iteration tensors only, and the head/upsample/losses run once,

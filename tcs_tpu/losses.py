@@ -109,7 +109,12 @@ def _topk_values(x: jax.Array, k: int) -> jax.Array:
     outs = []
     for _ in range(k):
         idx = jnp.argmax(x, axis=-1, keepdims=True)  # first max, like top_k
-        outs.append(jnp.take_along_axis(x, idx, axis=-1))
+        # One-hot reduction ≡ take_along_axis(x, idx): same value and the
+        # same cotangent routing (exactly the j == idx position), but a
+        # dense fused select+sum instead of a per-element minor-axis gather
+        # (the gathers measured 26.5 ms/step in the hoisted-loss trace).
+        outs.append(jnp.sum(jnp.where(iota == idx, x, 0.0), axis=-1,
+                            keepdims=True))
         x = jnp.where(iota == idx, -jnp.inf, x)
     return jnp.concatenate(outs, axis=-1)
 
@@ -132,15 +137,19 @@ def init_loss(cost_volume, flow_gt, valid, max_flow: float = 700.0, k: int = 1,
     mag = jnp.abs(flow_q)
     valid_q = (valid_q == 1.0) & (mag < max_flow * scale)
 
-    def rho(d):
-        d = jnp.clip(d, 0, W2 - 1)
-        return jnp.take_along_axis(cost_volume, d, axis=-1)
-
     def phi(d):
+        """Linear interpolation of the cost row at fractional index d as a
+        one-hot weighted reduction (bit-exact vs the two-gather form: the
+        same two products and one add, plus exact +0 terms; out-of-range
+        d = W2−1 has frac = 0 so the vanished dfi+1 tap matches the
+        reference's clip). No gather primitive — the minor-axis gathers
+        were the single hottest non-conv op of the hoisted train step."""
         df = jnp.floor(d)
         frac = d - df
         dfi = df.astype(jnp.int32)
-        return frac * rho(dfi + 1) + (1.0 - frac) * rho(dfi)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W2), 3)
+        wgt = (1.0 - frac) * (j == dfi) + frac * (j == dfi + 1)
+        return jnp.sum(cost_volume * wgt, axis=-1, keepdims=True)
 
     disp_gt = -flow_q  # (B,h,w,1)
     x_idx = jax.lax.broadcasted_iota(jnp.float32, (B, h, w, 1), 2)

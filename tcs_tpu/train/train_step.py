@@ -182,7 +182,16 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
                 f = TCSFeatureEncoder(cfg.model).apply(enc_params, *ims)
                 return carry, f
 
-            enc_body = jax.checkpoint(enc_body, prevent_cse=False)
+            enc_policy = None
+            if cfg.encode_save_names:
+                # Save named trunk activations ('enc_inner'/'enc_conv1'/…)
+                # so the encoder backward skips (part of) its forward replay
+                # — ~80 MB per saved full-resolution tensor per chunk at the
+                # TartanAir recipe.
+                enc_policy = jax.checkpoint_policies.save_only_these_names(
+                    *cfg.encode_save_names)
+            enc_body = jax.checkpoint(enc_body, prevent_cse=False,
+                                      policy=enc_policy)
             _, feats_c = jax.lax.scan(
                 enc_body, (),
                 (to_chunks(batch.image1), to_chunks(batch.image2)))
