@@ -46,6 +46,21 @@ def main():
                    metavar=("H", "W"))
     p.add_argument("--do_flip", default=None, choices=["h", "hf", "v"],
                    help="single-pair flip augmentation")
+    p.add_argument("--name", default=None, help="run/checkpoint name")
+    p.add_argument("--train_iters", type=int, default=None)
+    p.add_argument("--valid_iters", type=int, default=None)
+    p.add_argument("--wdecay", type=float, default=None)
+    p.add_argument("--init_k", type=int, default=None,
+                   help="top-k peaks pushed by the init loss")
+    p.add_argument("--spatial_scale", type=float, nargs=2, default=None,
+                   metavar=("MIN", "MAX"),
+                   help="augmentor random-resize range (log2 factors)")
+    p.add_argument("--saturation_range", type=float, nargs=2, default=None,
+                   metavar=("MIN", "MAX"))
+    p.add_argument("--img_gamma", type=float, nargs=2, default=None,
+                   metavar=("MIN", "MAX"))
+    p.add_argument("--init_thres", type=float, default=None,
+                   help="init-loss margin threshold (ModelConfig.init_thres)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--validate", action="store_true",
                    help="run the recipe's validation every 10k steps")
@@ -70,12 +85,20 @@ def main():
     overrides = {}
     for key in ("data_root", "checkpoint_dir", "restore_ckpt", "num_steps",
                 "batch_size", "lr", "num_workers", "yjitter",
-                "train_dataset", "frame_length", "do_flip"):
+                "train_dataset", "frame_length", "do_flip", "name",
+                "train_iters", "valid_iters", "wdecay", "init_k"):
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
-    if args.image_size is not None:
-        overrides["image_size"] = tuple(args.image_size)
+    for key in ("image_size", "spatial_scale", "saturation_range",
+                "img_gamma"):
+        v = getattr(args, key)
+        if v is not None:
+            overrides[key] = tuple(v)
+    if args.init_thres is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           init_thres=args.init_thres))
     if args.single_frame:
         overrides["temporal"] = False
         overrides["frame_length"] = 1
