@@ -73,10 +73,6 @@ def sequence_loss(flow_mono, flow_init, flow_preds, flow_gt, valid,
     iter_means = jnp.sum(per_iter * m, axis=(1, 2, 3, 4)) / denom
     loss += jnp.sum(weights * iter_means)
 
-    def epe_of(pred):
-        e = jnp.abs(pred - flow_gt[..., 0])  # 1-channel flow → |Δ|
-        return e
-
     epe = jnp.sqrt(jnp.sum((flows_up[-1] - flow_gt) ** 2, axis=-1))
     epe_refine = jnp.sqrt(jnp.sum((flows_refine_up[-1] - flow_gt) ** 2, axis=-1))
     epe_init = jnp.sqrt(jnp.sum((flow_init - flow_gt) ** 2, axis=-1))
@@ -149,7 +145,13 @@ def init_loss(cost_volume, flow_gt, valid, max_flow: float = 700.0, k: int = 1,
         dfi = df.astype(jnp.int32)
         j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W2), 3)
         wgt = (1.0 - frac) * (j == dfi) + frac * (j == dfi + 1)
-        return jnp.sum(cost_volume * wgt, axis=-1, keepdims=True)
+        # Select before multiplying so a non-finite cell elsewhere in the
+        # row cannot poison the reduction via 0·inf = NaN — keeps the NaN
+        # blast radius of the dense one-hot form identical to the two-tap
+        # gather it replaced (the reference asserts the cost volume finite,
+        # torch.isinf at train_stereo.py:140).
+        return jnp.sum(jnp.where(wgt != 0, cost_volume, 0.0) * wgt,
+                       axis=-1, keepdims=True)
 
     disp_gt = -flow_q  # (B,h,w,1)
     x_idx = jax.lax.broadcasted_iota(jnp.float32, (B, h, w, 1), 2)

@@ -194,6 +194,13 @@ class Conv(nn.Module):
                     f"Conv: s2d={self.s2d} supports stride-1 'same' convs "
                     f"only (got stride={self.stride}, padding={pad}, "
                     f"kernel={self.kernel})")
+            if self.in_pad > 1:
+                # The s2d path returns here and would silently ignore
+                # in_pad; reject the combination explicitly (mirrors the
+                # dual/s2d conflict above).
+                raise ValueError(
+                    f"Conv: s2d={self.s2d} does not compose with "
+                    f"in_pad={self.in_pad}; use one or the other")
             return self._apply_s2d(m, x, ci)
         if self.in_pad > 1 and ci % self.in_pad:
             if self.dual != 1:

@@ -16,6 +16,7 @@ Loss weighting mirrors ``train_stereo.py:364-405``:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -171,6 +172,14 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             nc = min(cfg.encode_chunk_frames, Tn)
             while Tn % nc:
                 nc -= 1
+            if nc != cfg.encode_chunk_frames:
+                # The chunk scan needs equal chunks; a non-dividing setting
+                # silently degrades the batching win (worst case 1
+                # frame/chunk), so surface the effective size once per trace.
+                logging.getLogger(__name__).warning(
+                    "encode_chunk_frames=%d does not divide frame_length=%d;"
+                    " using effective chunk size %d",
+                    cfg.encode_chunk_frames, Tn, nc)
             n_chunks = Tn // nc
 
             def to_chunks(x):
