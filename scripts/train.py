@@ -10,6 +10,17 @@ Examples:
 Multi-host: run one process per host with --coordinator/--num_processes/
 --process_id (``jax.distributed.initialize``), the TPU-native analogue of
 ``torch.distributed.launch`` in ``*_ddp_train.sh``.
+
+Flag parity vs the reference CLI (train_stereo.py:455-499), 33 flags:
+28 map 1:1 by name (here or via --recipe presets); the rest map as follows —
+  --temporal      → on by default; --single_frame is the inverse
+  --noyjitter     → off by default; --yjitter is the inverse
+  --ddp/--local-rank/--device → replaced by --coordinator/--num_processes/
+                    --process_id (jax.distributed; no per-GPU rank env)
+  --pth_name      → checkpoints are directories named by --name + step
+                    (Orbax); use --restore_ckpt to point at any of them
+  --sync_bn       → documented skip (PARITY.md §2.5): no recipe enables it
+                    and context_norm 'none'/'instance' has no batch stats
 """
 
 import argparse
@@ -61,6 +72,38 @@ def main():
                    metavar=("MIN", "MAX"))
     p.add_argument("--init_thres", type=float, default=None,
                    help="init-loss margin threshold (ModelConfig.init_thres)")
+    # Architecture choices (reference train_stereo.py:481-487). Defaults of
+    # None keep the recipe's ModelConfig; the boolean flags come in
+    # enable/disable pairs because our recipe defaults differ from the
+    # reference argparse defaults (shared_backbone/mixed_precision are ON in
+    # every launch script, so they are ON in our recipes).
+    p.add_argument("--corr_levels", type=int, default=None,
+                   help="levels in the correlation pyramid")
+    p.add_argument("--corr_radius", type=int, default=None,
+                   help="lookup radius of the correlation pyramid")
+    p.add_argument("--n_downsample", type=int, default=None,
+                   help="disparity field resolution 1/2^K")
+    p.add_argument("--n_gru_layers", type=int, default=None,
+                   help="number of hidden GRU levels")
+    p.add_argument("--hidden_dims", type=int, nargs="+", default=None,
+                   help="hidden state and context dimensions (sets both)")
+    p.add_argument("--context_norm", default=None,
+                   choices=["group", "batch", "instance", "none"],
+                   help="normalization of the context encoder")
+    p.add_argument("--shared_backbone", dest="shared_backbone",
+                   action="store_true", default=None,
+                   help="single backbone for context+feature encoders")
+    p.add_argument("--no_shared_backbone", dest="shared_backbone",
+                   action="store_false",
+                   help="separate fnet matching-feature encoder")
+    p.add_argument("--slow_fast_gru", dest="slow_fast_gru",
+                   action="store_true", default=None,
+                   help="iterate the low-res GRUs more frequently")
+    p.add_argument("--mixed_precision", dest="mixed_precision",
+                   action="store_true", default=None,
+                   help="bf16 conv stacks (fp32 correlation/geometry)")
+    p.add_argument("--no_mixed_precision", dest="mixed_precision",
+                   action="store_false", help="run everything in fp32")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--validate", action="store_true",
                    help="run the recipe's validation every 10k steps")
@@ -95,10 +138,21 @@ def main():
         v = getattr(args, key)
         if v is not None:
             overrides[key] = tuple(v)
-    if args.init_thres is not None:
+    model_overrides = {}
+    for key in ("corr_levels", "corr_radius", "n_downsample", "n_gru_layers",
+                "context_norm", "shared_backbone", "slow_fast_gru",
+                "mixed_precision", "init_thres"):
+        v = getattr(args, key)
+        if v is not None:
+            model_overrides[key] = v
+    if args.hidden_dims is not None:
+        # The reference has one --hidden_dims flag feeding both the hidden
+        # and the context dimensions.
+        model_overrides["hidden_dims"] = tuple(args.hidden_dims)
+        model_overrides["context_dims"] = tuple(args.hidden_dims)
+    if model_overrides:
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model,
-                                           init_thres=args.init_thres))
+            cfg, model=dataclasses.replace(cfg.model, **model_overrides))
     if args.single_frame:
         overrides["temporal"] = False
         overrides["frame_length"] = 1
@@ -106,18 +160,23 @@ def main():
 
     from tcs_tpu.train.trainer import Trainer
 
+    trainer = Trainer(cfg, use_wandb=args.wandb)
     validate_fn = None
     if args.validate:
         from tcs_tpu import evaluate as ev
 
+        # Error-map wandb images for the first 2 validation sequences
+        # (reference logErrorMap role); no-op when wandb is off.
+        img_kw = dict(metrics_logger=trainer.logger,
+                      log_images=2 if args.wandb else 0)
         if args.recipe == "TartanAir":
             validate_fn = lambda m, p, c: ev.validate_tartanair(
-                m, p, c, iters=cfg.valid_iters, root=cfg.data_root)
+                m, p, c, iters=cfg.valid_iters, root=cfg.data_root, **img_kw)
         elif args.recipe == "sceneflow":
             validate_fn = lambda m, p, c: ev.validate_temporal_things(
-                m, p, c, iters=cfg.valid_iters, root=cfg.data_root)
+                m, p, c, iters=cfg.valid_iters, root=cfg.data_root, **img_kw)
 
-    Trainer(cfg, use_wandb=args.wandb).train(validate_fn=validate_fn)
+    trainer.train(validate_fn=validate_fn)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,21 @@ class ModelConfig:
     # convs. Set 'float32' for bit-exact parity with the reference.
     corr_dtype: str = "bfloat16"
 
+    def __post_init__(self):
+        if self.n_gru_layers != 3:
+            # Faithful to the reference: its DisparityCompletor hard-indexes
+            # all three context scales (update.py:379-396 context_list[2])
+            # and its 3-scale decoder is built unconditionally, so any
+            # --n_gru_layers other than 3 crashes the reference model too.
+            # Reject it up front with the reason instead of an IndexError
+            # deep inside the completor.
+            raise ValueError(
+                f"n_gru_layers={self.n_gru_layers}: the TC-Stereo"
+                " architecture requires exactly 3 GRU/context scales — the"
+                " reference's DisparityCompletor consumes context_list[0..2]"
+                " unconditionally (reference core/update.py:379-396), so"
+                " this flag value does not run there either")
+
     @property
     def scale_rate(self) -> float:
         return 1.0 / (2 ** self.n_downsample)

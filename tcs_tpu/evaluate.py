@@ -228,12 +228,18 @@ def _evaluate_sequences(ev: TemporalEvaluator, seqs: List[Dict],
 def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
                        root: str = "datasets", max_sequences: Optional[int] = None,
                        max_frames: Optional[int] = None,
-                       mesh=None) -> Dict[str, float]:
+                       mesh=None, metrics_logger=None,
+                       log_images: int = 0) -> Dict[str, float]:
     """Reference ``validate_tartanair`` (:120): 20 held-out sequences.
 
     With ``mesh``, sequences are distributed over the devices (one stream
     per device — the reference's ``nn.DataParallel`` analogue,
-    evaluate_stereo.py:392); metrics are identical to the serial path."""
+    evaluate_stereo.py:392); metrics are identical to the serial path.
+
+    With ``metrics_logger`` and ``log_images`` > 0, the first frame of the
+    first ``log_images`` sequences emits a colored error map (wandb image
+    when wandb is active; no-op otherwise — the reference's ``logErrorMap``
+    visual regression signal, core/utils/visualization.py:147-179)."""
     ds = TartanAir(None, root=root, scene_list=[],
                    test_keywords=tartanair_test_keywords(), is_test=True,
                    mode="temporal", load_flow=False)
@@ -256,6 +262,9 @@ def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
         m = _epe_metrics(disp, disp_gt)
         if m:
             rows.append(m)
+        if metrics_logger is not None and j == 0 and si < log_images:
+            metrics_logger.log_error_map(
+                f"val/tartanair_error_seq{si}", disp, disp_gt)
         if si in prev and prev[si][2] == j - 1:
             tc = temporal_consistency_metrics(prev[si][0], disp,
                                               prev[si][1], disp_gt)
@@ -277,9 +286,12 @@ def validate_tartanair(model, params, cfg: ModelConfig, iters: int = 5,
 def validate_temporal_things(model, params, cfg: ModelConfig, iters: int = 5,
                              root: str = "datasets",
                              max_sequences: Optional[int] = None,
-                             mesh=None) -> Dict[str, float]:
+                             mesh=None, metrics_logger=None,
+                             log_images: int = 0) -> Dict[str, float]:
     """Reference ``validate_temporal_things`` (:265): FlyingThings TEST.
-    ``mesh`` shards sequences over devices (see validate_tartanair)."""
+    ``mesh`` shards sequences over devices (see validate_tartanair);
+    ``metrics_logger``/``log_images`` emit first-frame error maps (see
+    validate_tartanair)."""
     ds = SceneFlowDatasets(None, root=root, dstype="frames_cleanpass",
                            things_test=True, mode="temporal")
     ev = TemporalEvaluator(model, params, cfg, iters, mesh=mesh)
@@ -295,10 +307,14 @@ def validate_temporal_things(model, params, cfg: ModelConfig, iters: int = 5,
                          K=SCENEFLOW_TEST_K, baseline=1.0, read_gt=read_gt))
 
     rows = []
-    _evaluate_sequences(
-        ev, seqs, None,
-        lambda si, j, disp, gt: rows.append(_epe_metrics(disp, gt) or None)
-    )
+
+    def on_frame(si, j, disp, gt):
+        rows.append(_epe_metrics(disp, gt) or None)
+        if metrics_logger is not None and j == 0 and si < log_images:
+            metrics_logger.log_error_map(
+                f"val/things_error_seq{si}", disp, gt)
+
+    _evaluate_sequences(ev, seqs, None, on_frame)
     rows = [r for r in rows if r]
     results = _aggregate(rows, "things")
     logger.info("Validation FlyingThings: %s", results)

@@ -88,6 +88,64 @@ class MetricsLogger:
                 os.path.join(out_dir, f"{tag.replace('/', '_')}_{self.total_steps}.png")
             )
 
+    def log_feature_map(self, tag: str, features, max_channels: int = 8,
+                        vmin=None, vmax=None, out_dir: Optional[str] = None):
+        """Per-channel pseudo-color images of the first instance of a feature
+        map (reference ``logFeatureMap``, visualization.py:98-129). Accepts
+        (N, H, W, C) NHWC, (H, W, C) or (H, W); wandb-optional — a no-op
+        sink when neither wandb nor ``out_dir`` is configured."""
+        if self._wandb is None and not out_dir:
+            return
+        from tcs_tpu.utils.visualization import pseudo_color_map
+
+        f = np.asarray(features, np.float32)
+        if f.ndim == 4:
+            f = f[0]
+        if f.ndim == 2:
+            f = f[..., None]
+        lo = float(np.min(f)) if vmin is None else vmin
+        hi = float(np.max(f)) if vmax is None else vmax
+        imgs = {
+            f"{tag}_{c}": pseudo_color_map(f[..., c], lo, hi,
+                                           kitti_style=False)
+            for c in range(min(f.shape[-1], max_channels))
+        }
+        self._emit_images(imgs, out_dir)
+
+    def log_error_map(self, tag: str, disp_pred, disp_gt,
+                      out_dir: Optional[str] = None):
+        """KITTI-devkit colored disparity-error image with the 10-color
+        legend strip (reference ``logErrorMap``, visualization.py:147-179);
+        invalid (gt <= 0) pixels are black. wandb-optional."""
+        if self._wandb is None and not out_dir:
+            return
+        from tcs_tpu.utils.visualization import _ERROR_COLS, error_colormap
+
+        pred = np.asarray(disp_pred, np.float32)
+        gt = np.asarray(disp_gt, np.float32)
+        img = error_colormap(pred, gt, gt > 0)
+        # legend: one 20px swatch per error bucket along the top-left edge
+        for i, (_, _, r, g, b) in enumerate(_ERROR_COLS):
+            img[:10, i * 20:(i + 1) * 20] = (int(r), int(g), int(b))
+        self._emit_images({tag: img}, out_dir)
+
+    def _emit_images(self, images: Dict[str, np.ndarray],
+                     out_dir: Optional[str]):
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: self._wandb.Image(v) for k, v in images.items()},
+                commit=False,
+            )
+        if out_dir:
+            import os
+
+            from PIL import Image as PILImage
+
+            os.makedirs(out_dir, exist_ok=True)
+            for k, v in images.items():
+                PILImage.fromarray(v).save(os.path.join(
+                    out_dir, f"{k.replace('/', '_')}_{self.total_steps}.png"))
+
     def write_dict(self, results: Dict):
         """Log evaluation results immediately."""
         logger.info("eval: %s", results)

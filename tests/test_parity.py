@@ -161,6 +161,295 @@ def test_forward_parity_first_frame(torch_reference):
     assert err_q.max() < 5e-2, (err_q.max(), err_q.mean())
 
 
+def _build_torch_model(**overrides):
+    """Fresh reference model with architecture flag overrides (seed 7)."""
+    import argparse
+
+    import torch
+
+    cupy = types.ModuleType("cupy")
+    cupy.memoize = lambda **kw: (lambda f: f)
+    sys.modules.setdefault("cupy", cupy)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+    from core.tc_stereo import TCStereo as TorchTCStereo
+
+    kw = dict(
+        hidden_dims=[128, 128, 128], corr_levels=4, corr_radius=4,
+        n_downsample=2, n_gru_layers=3, context_norm="none",
+        shared_backbone=True, slow_fast_gru=False, mixed_precision=False,
+        init_thres=0.5,
+    )
+    kw.update(overrides)
+    torch.manual_seed(7)
+    model = TorchTCStereo(argparse.Namespace(**kw))
+    model.eval()
+    return model
+
+
+def _first_frame_ab(torch_model, cfg, B=1, H=64, W=96, iters=2, seed=0,
+                    tol=5e-2):
+    """Shared harness: frame-1 (argmax bootstrap) forward A/B on converted
+    weights for an arbitrary architecture-variant pair."""
+    import torch
+
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    rng = np.random.default_rng(seed)
+    img1 = rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = torch_model(
+            torch.from_numpy(img1).permute(0, 3, 1, 2),
+            torch.from_numpy(img2).permute(0, 3, 1, 2),
+            iters=iters, params=None, test_mode=True,
+        )
+    ref_flow = t_out["flow"].permute(0, 2, 3, 1).numpy()
+    ref_flow_q = t_out["flow_q"].permute(0, 2, 3, 1).numpy()
+
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_state_dict(sd, n_gru_layers=cfg.n_gru_layers))
+    model = TCStereo(cfg=cfg)
+    state = TemporalState.zeros(B, H, W, cfg)
+    K = np.broadcast_to(
+        np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]],
+                 np.float32), (B, 3, 3)).copy()
+    cam = CameraParams(K=jnp.asarray(K), baseline=jnp.full((B,), 0.5))
+    out = model.apply(params, jnp.asarray(img1), jnp.asarray(img2), state,
+                      cam, jnp.eye(4)[None], iters=iters, test_mode=True)
+
+    err = np.abs(np.asarray(out.flow) - ref_flow)
+    assert err.max() < tol, (err.max(), err.mean())
+    err_q = np.abs(-np.asarray(out.new_state.disp_q) - ref_flow_q)
+    assert err_q.max() < tol, (err_q.max(), err_q.mean())
+
+
+def test_forward_parity_slow_fast_gru(torch_reference):
+    """A/B the slow_fast_gru=True iteration schedule (reference
+    tc_stereo.py:182-185: coarse GRUs iterate ahead of the update step).
+    Same parameters as the default model — the flag only reorders GRU
+    calls — so the weights are shared from the module fixture."""
+    from tcs_tpu.config import ModelConfig
+
+    model = _build_torch_model(slow_fast_gru=True)
+    model.load_state_dict(torch_reference.state_dict())
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32",
+                      argmax_margin=0.3, slow_fast_gru=True)
+    _first_frame_ab(model, cfg)
+
+
+def test_forward_parity_non_shared_backbone():
+    """A/B the shared_backbone=False path: separate fnet matching encoder
+    (reference extractor.py:119; constructed at tc_stereo.py:45) and the
+    single-image cnet. Pins BasicEncoder numerics + its converter mapping."""
+    from tcs_tpu.config import ModelConfig
+
+    model = _build_torch_model(shared_backbone=False)
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32",
+                      argmax_margin=0.3, shared_backbone=False)
+    _first_frame_ab(model, cfg, seed=5)
+
+
+@pytest.fixture(scope="module")
+def ref_train():
+    """Import the reference train_stereo module (loss oracles), heavy deps
+    stubbed — mirrors tests/test_loss_parity.py."""
+    for name in ("wandb", "tqdm", "pykitti", "skimage", "skimage.io"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["tqdm"].tqdm = lambda x, *a, **k: x
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.ColorJitter = object
+    tvt.Compose = object
+    tvt.functional = types.ModuleType("torchvision.transforms.functional")
+    tv.transforms = tvt
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tvt)
+    sys.path.insert(0, REFERENCE)
+    import train_stereo as ref
+
+    return ref
+
+
+def test_train_mode_parity(torch_reference, ref_train):
+    """A/B the TRAINING forward graph + all four loss scalars, frames 1 → 2.
+
+    The test-mode parity tests pin the final flow only; this pins the
+    training-only output surface — the per-iteration
+    ``flow_predictions``/``flow_q_predictions``/``disp_grad_q_predictions``
+    lists, ``flow_init``/``flow_mono`` upsampling and the ``cost_volume``
+    plumbed into the losses (reference ``core/tc_stereo.py:230-244``) — and
+    then the four loss scalars exactly as the reference train loop combines
+    them (``train_stereo.py:360-399``), through our actual train-step loss
+    body (``train_step.frame_losses_parts``).
+    """
+    import torch
+
+    import core.utils.geo_utils as geo_utils_ref
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.train.train_step import FrameBatch, frame_losses_parts
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    geo_utils_ref.softsplat = _softsplat_cpu
+
+    B, H, W = 1, 64, 96
+    iters = 2
+    rng = np.random.default_rng(11)
+    imgs = [rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32)
+            for _ in range(4)]
+    img1a, img2a, img1b, img2b = imgs
+
+    # Smooth ≤0 GT flow + a non-trivial valid mask, shared by both sides.
+    base = rng.uniform(5, 25, size=(B, 1, 1, 1)).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ramp = (2.0 * xx / W + 1.0 * yy / H).astype(np.float32)[None, ..., None]
+    flow_gt = [-(base + 3.0 * ramp + k) for k in range(2)]
+    valid = [(rng.uniform(size=(B, H, W, 1)) > 0.15).astype(np.float32)
+             for _ in range(2)]
+
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]],
+                 np.float32)[None]
+    baseline = np.array([0.5], np.float32)
+    T1 = np.eye(4, dtype=np.float32)[None]
+    ang = 0.01
+    R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                  [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, :3] = R
+    T2[:3, 3] = [0.05, 0.02, -0.10]
+    T2 = T2[None]
+
+    def nchw(x):
+        return torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+    # --- reference: train-mode forward, frames 1 then 2, and the 4 losses ---
+    torch_reference.train()
+    try:
+        n_pred = iters
+        adj = 0.9 ** (15 / (n_pred - 1))
+        weights = [adj ** (n_pred - 1 - i) for i in range(n_pred)]
+
+        def ref_frame_losses(out, fgt, v):
+            fgt_t, v_t = nchw(fgt), nchw(v)
+            mag = torch.sum(fgt_t ** 2, dim=1).sqrt()
+            v_t = ((v_t[:, 0] >= 0.5) & (mag < 700)).unsqueeze(1)
+            grad_gt, _ = geo_utils_ref.disp2disp_gradient_xy(-fgt_t)
+            norm_gt = torch.nn.functional.normalize(
+                torch.cat((grad_gt, -torch.ones_like(grad_gt[:, :1])), dim=1),
+                dim=1)
+            seq, seq_m = ref_train.sequence_loss(
+                out["flow_mono"], out["flow_init"], out["flow_predictions"],
+                fgt_t, v_t, weights)
+            ini, _ = ref_train.init_loss(
+                out["cost_volume"], fgt_t, v_t, k=3, scale=0.25, threshold=0.5)
+            nrm, _ = ref_train.disp_normal_loss(
+                out["flow_q_predictions"], norm_gt, v_t, weights,
+                scale=0.25, dense_gt=True)
+            grd, _ = ref_train.disp_grad_loss(
+                out["disp_grad_q_predictions"], grad_gt, v_t, weights,
+                scale=0.25, dense_gt=True)
+            return (float(seq), float(ini), float(nrm), float(grd),
+                    seq_m["epe"])
+
+        with torch.no_grad():
+            o1 = torch_reference(nchw(img1a), nchw(img2a), iters=iters,
+                                 params=None, test_mode=False)
+            params_t = {
+                "K": torch.from_numpy(K), "T": torch.from_numpy(T2),
+                "previous_T": torch.from_numpy(T1),
+                "last_disp": o1["flow_q"], "last_net_list": o1["net_list"],
+                "fmap1": o1["fmap1"],
+                "baseline": torch.from_numpy(baseline),
+            }
+            o2 = torch_reference(nchw(img1b), nchw(img2b), iters=iters,
+                                 params=params_t, test_mode=False)
+            ref_losses = [ref_frame_losses(o1, flow_gt[0], valid[0]),
+                          ref_frame_losses(o2, flow_gt[1], valid[1])]
+    finally:
+        torch_reference.eval()
+
+    # --- tcs_tpu: same weights, train mode, frames 1 then 2 ---
+    sd = {k: v.numpy() for k, v in torch_reference.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, convert_state_dict(sd))
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32",
+                      argmax_margin=0.3, init_thres=0.5)
+    tcfg = TrainConfig(model=cfg, train_dataset="TartanAir", init_k=3,
+                       frame_length=2, train_iters=iters)
+    model = TCStereo(cfg=cfg)
+    cam = CameraParams(K=jnp.asarray(np.broadcast_to(K, (B, 3, 3)).copy()),
+                       baseline=jnp.asarray(baseline))
+
+    outs, state = [], TemporalState.zeros(B, H, W, cfg)
+    for (i1, i2), T in zip(((img1a, img2a), (img1b, img2b)), (T1, T2)):
+        out = model.apply(params, jnp.asarray(i1), jnp.asarray(i2), state,
+                          cam, jnp.asarray(T), iters=iters, test_mode=False)
+        outs.append(out)
+        state = out.new_state
+
+    def nhwc(t):  # torch NCHW → numpy NHWC
+        return t.detach().permute(0, 2, 3, 1).numpy()
+
+    for fi, (out, ref) in enumerate(zip(outs, (o1, o2))):
+        # per-iteration prediction lists
+        for it in range(iters):
+            for j, name in ((0, "flows_up"), (1, "flow_refine_up")):
+                e = np.abs(np.asarray(out.flow_predictions[j][it])
+                           - nhwc(ref["flow_predictions"][it][j]))
+                assert e.max() < 5e-2, (fi, it, name, e.max())
+                e = np.abs(np.asarray(out.flow_q_predictions[j][it])
+                           - nhwc(ref["flow_q_predictions"][it][j]))
+                assert e.max() < 5e-2, (fi, it, "q" + name, e.max())
+            e = np.abs(np.asarray(out.disp_grad_q_predictions[it])
+                       - nhwc(ref["disp_grad_q_predictions"][it]))
+            assert e.max() < 5e-2, (fi, it, "grad", e.max())
+        # init/mono upsampled flows
+        e = np.abs(np.asarray(out.flow_init) - nhwc(ref["flow_init"]))
+        assert e.max() < 5e-2, (fi, "flow_init", e.max())
+        e = np.abs(np.asarray(out.flow_mono) - nhwc(ref["flow_mono"]))
+        assert e.max() < 5e-2, (fi, "flow_mono", e.max())
+        # masked cost volume: ours (B,h,w,W2) vs reference (B,W2,h,w)
+        cv = np.asarray(out.cost_volume).transpose(0, 3, 1, 2)
+        e = np.abs(cv - ref["cost_volume"].detach().numpy())
+        assert e.max() < 1e-2, (fi, "cost_volume", e.max())
+        # training carries (flow_q clipped ≤0 ⇔ disp_q ≥0)
+        e = np.abs(-np.asarray(out.new_state.disp_q) - nhwc(ref["flow_q"]))
+        assert e.max() < 5e-2, (fi, "carry flow_q", e.max())
+
+    # --- the four loss scalars through our train-step loss body ---
+    for fi, out in enumerate(outs):
+        frame = FrameBatch(
+            image1=jnp.asarray(imgs[2 * fi]), image2=jnp.asarray(imgs[2 * fi + 1]),
+            flow=jnp.asarray(flow_gt[fi]), valid=jnp.asarray(valid[fi]),
+            T=jnp.asarray((T1, T2)[fi]),
+        )
+        total, metrics = frame_losses_parts(
+            out.flow_predictions, out.flow_q_predictions,
+            out.disp_grad_q_predictions, out.flow_init, out.flow_mono,
+            out.cost_volume, frame, tcfg,
+        )
+        seq_r, ini_r, nrm_r, grd_r, epe_r = ref_losses[fi]
+        ref_total = seq_r + ini_r + 0.25 * nrm_r + 5.0 * grd_r
+        # model-output fp divergence (≤5e-2 per pixel) propagates into the
+        # loss means; 2e-2 abs+rel bounds it with margin
+        np.testing.assert_allclose(float(total), ref_total, rtol=2e-2,
+                                   atol=2e-2, err_msg=f"frame {fi} total")
+        np.testing.assert_allclose(float(metrics["init_loss"]), ini_r,
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(float(metrics["norm_loss"]), nrm_r,
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(float(metrics["grad_loss"]), grd_r,
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(float(metrics["epe"]), epe_r,
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_forward_parity_second_frame(torch_reference):
     """A/B the TEMPORAL (frame >= 2) path against the torch reference.
 

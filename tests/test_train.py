@@ -595,3 +595,54 @@ def test_losses_outside_scan_matches_baseline(train_setup):
                                float(m_ref["live_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_new["grad_norm"]),
                                float(m_ref["grad_norm"]), rtol=1e-3)
+
+
+def test_metrics_logger_image_hooks(tmp_path, monkeypatch):
+    """wandb image-logging parity (reference logFeatureMap/logErrorMap,
+    core/utils/visualization.py:98-179): images reach wandb when it is
+    active, fall back to PNG with out_dir, and are a silent no-op with
+    neither sink configured."""
+    from tcs_tpu.utils.logging_utils import MetricsLogger
+
+    logged = {}
+
+    class FakeWandb:
+        class Image:
+            def __init__(self, arr):
+                self.arr = np.asarray(arr)
+
+        @staticmethod
+        def init(**kw):
+            pass
+
+        @staticmethod
+        def log(d, **kw):
+            logged.update(d)
+
+    logger = MetricsLogger(use_wandb=False)
+    logger._wandb = FakeWandb()  # inject without a network init
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 8, 12, 5)).astype(np.float32)
+    logger.log_feature_map("val/feat", feats, max_channels=3)
+    assert sorted(logged) == ["val/feat_0", "val/feat_1", "val/feat_2"]
+    assert logged["val/feat_0"].arr.shape == (8, 12, 3)
+    assert logged["val/feat_0"].arr.dtype == np.uint8
+
+    gt = rng.uniform(1, 60, (16, 24)).astype(np.float32)
+    pred = gt + rng.normal(0, 2, gt.shape).astype(np.float32)
+    logger.log_error_map("val/err", pred, gt)
+    img = logged["val/err"].arr
+    assert img.shape == (16, 24, 3) and img.dtype == np.uint8
+    # legend strip occupies the top-left edge (10 swatches x 20 px, clipped)
+    assert img[:10, :20].std(axis=(0, 1)).max() == 0
+
+    # PNG sink without wandb
+    logger2 = MetricsLogger(use_wandb=False)
+    logger2.log_error_map("val/err", pred, gt, out_dir=str(tmp_path))
+    assert any(p.name.startswith("val_err") for p in tmp_path.iterdir())
+
+    # no sink -> no-op (must not raise, must write nothing)
+    logger3 = MetricsLogger(use_wandb=False)
+    logger3.log_feature_map("x", feats)
+    logger3.log_error_map("x", pred, gt)

@@ -127,6 +127,17 @@ def convert_state_dict(sd: Dict[str, np.ndarray], n_gru_layers: int = 3) -> Dict
             "conv": _conv(sd, "conv2.1"),
         }
 
+    # --- non-shared matching encoder (reference extractor.py:119, built
+    # when shared_backbone is off: tc_stereo.py:45) ---
+    if "fnet.conv1.weight" in sd:
+        p["fnet"] = {
+            "conv1": _conv(sd, "fnet.conv1"),
+            "layer1": _stage(sd, "fnet.layer1"),
+            "layer2": _stage(sd, "fnet.layer2"),
+            "layer3": _stage(sd, "fnet.layer3"),
+            "conv2": _conv(sd, "fnet.conv2"),
+        }
+
     # --- context projections + fusers ---
     for i in range(n_gru_layers):
         p[f"context_zqr_convs_{i}"] = _conv(sd, f"context_zqr_convs.{i}")
