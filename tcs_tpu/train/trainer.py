@@ -79,7 +79,13 @@ class Trainer:
             ts = ts.replace(params=params)
             logger.info("Restored weights from %s", cfg.restore_ckpt)
         elif self.ckpt.latest_step() is not None:
-            ts = self.ckpt.restore(ts)
+            # Restore to HOST arrays before replicating: restored leaves are
+            # committed to the local default device, and device_put from a
+            # committed single-device array onto a multi-process global
+            # sharding would need a cross-host transfer (unsupported on the
+            # CPU backend; wasteful on TPU). Host→global uploads are the
+            # supported path — each process feeds its local shard.
+            ts = jax.tree_util.tree_map(np.asarray, self.ckpt.restore(ts))
             logger.info("Resumed full training state at step %d",
                         int(ts.step))
         return mesh_lib.replicate(ts, self.mesh)
@@ -154,8 +160,11 @@ class Trainer:
                             "checkpoint", total_steps)
                         if self.ckpt.latest_step() is not None:
                             ts = mesh_lib.replicate(
-                                self.ckpt.restore(
-                                    jax.tree_util.tree_map(np.asarray, ts)
+                                jax.tree_util.tree_map(
+                                    np.asarray,
+                                    self.ckpt.restore(
+                                        jax.tree_util.tree_map(np.asarray, ts)
+                                    ),
                                 ),
                                 self.mesh,
                             )
@@ -163,8 +172,11 @@ class Trainer:
                     if preempted["flag"]:
                         logger.warning("SIGTERM received: checkpointing at "
                                        "step %d and exiting", total_steps)
-                        if jax.process_index() == 0:
-                            self.ckpt.save(total_steps, ts, wait=True)
+                        # Collective save: every process calls it (Orbax
+                        # coordinates and the primary host writes) — calling
+                        # from process 0 alone would deadlock Orbax's
+                        # cross-process barriers under jax.distributed.
+                        self.ckpt.save(total_steps, ts, wait=True)
                         if prev_handler is not None:
                             signal.signal(signal.SIGTERM, prev_handler)
                         return ts
@@ -173,9 +185,12 @@ class Trainer:
                         # Never checkpoint an unhealthy state: a NaN/diverged
                         # save would poison the divergence-restore path (and
                         # resume). Only states with a clean detector record
-                        # since the last bad step are persisted.
-                        if (jax.process_index() == 0 and healthy
-                                and detector.consecutive_bad == 0):
+                        # since the last bad step are persisted. The save is
+                        # COLLECTIVE (all processes call; Orbax's primary
+                        # host writes) — the health predicate is global
+                        # (all-reduced metrics), so every process takes the
+                        # same branch.
+                        if healthy and detector.consecutive_bad == 0:
                             self.ckpt.save(total_steps, ts)
                         if validate_fn is not None:
                             results = validate_fn(self.model, ts.params,
@@ -183,8 +198,7 @@ class Trainer:
                             self.logger.write_dict(results)
                     if total_steps >= num_steps:
                         break
-        if jax.process_index() == 0:
-            self.ckpt.save(int(ts.step), ts, wait=True)
+        self.ckpt.save(int(ts.step), ts, wait=True)  # collective
         logger.info("FINISHED TRAINING (%d steps, %.1f s)", total_steps,
                     time.time() - t_start)
         return ts

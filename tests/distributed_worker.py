@@ -7,6 +7,14 @@ train step whose gradient all-reduce crosses the process boundary →
 against a single-process run of the same global batch.
 
 Usage: python tests/distributed_worker.py <coord> <nproc> <pid> <out.json>
+           [mode] [shared_dir]
+
+mode 'step' (default): one train step, loss/rng comparison.
+mode 'train': the FULL ``Trainer.train()`` driver — loader sharding,
+collective Orbax checkpointing mid-run, a second Trainer that RESUMES from
+the saved state and continues, and a deterministic probe loss + parameter
+checksum for the parent test to compare against a single-process run.
+``shared_dir`` is the checkpoint directory shared by both processes.
 """
 
 import json
@@ -14,8 +22,69 @@ import os
 import sys
 
 
+def _train_mode(out_path, shared_dir):
+    """Full Trainer.train() under jax.distributed (VERDICT round-3 ask #6)."""
+    import jax
+    import numpy as np
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.data.loader import SequenceLoader
+    from tcs_tpu.data.synthetic import SyntheticStereoSequence
+    from tcs_tpu.train import make_train_step
+    from tcs_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        batch_size=1, image_size=(32, 64), frame_length=1, train_iters=1,
+        num_steps=4, lr=1e-4, num_workers=1, validation_frequency=2,
+        checkpoint_dir=shared_dir, name="dist_train",
+        model=ModelConfig(mixed_precision=False),
+    )
+    ds = SyntheticStereoSequence(n_samples=8, frame_length=1, height=32,
+                                 width=64)
+
+    # Phase 1: train 2 steps; validation_frequency=2 saves at step 1 and the
+    # final collective save persists step 2.
+    t1 = Trainer(cfg)
+    ts = t1.train(max_steps=2, dataset=ds)
+    step_phase1 = int(ts.step)
+
+    # Phase 2: a FRESH Trainer must resume from the shared checkpoint (full
+    # Orbax state: params + opt_state + step) and continue to step 4.
+    t2 = Trainer(cfg)
+    resumed_at = t2.ckpt.latest_step()
+    ts2 = t2.train(max_steps=4, dataset=ds)
+
+    # Deterministic probes for cross-process + single-process comparison.
+    probe_loader = SequenceLoader(ds, batch_size=2, seed=123, num_workers=1)
+    step_fn = make_train_step(t2.model, cfg, donate=False)
+    batch = t2.make_batch(next(iter(probe_loader))) if t2.n_shards == 1 else None
+    if batch is None:
+        # each process feeds its shard of the SAME probe rows
+        shard_loader = SequenceLoader(
+            ds, batch_size=1, seed=123, shard_id=jax.process_index(),
+            num_shards=jax.process_count(), num_workers=1)
+        batch = t2.make_batch(next(iter(shard_loader)))
+    _, metrics = step_fn(ts2, batch)
+    checksum = float(sum(
+        np.float64(np.sum(np.abs(np.asarray(x))))
+        for x in jax.tree_util.tree_leaves(ts2.params)
+    ))
+    result = {
+        "process": jax.process_index(),
+        "step_phase1": step_phase1,
+        "resumed_at": resumed_at,
+        "final_step": int(ts2.step),
+        "probe_loss": float(np.asarray(metrics["live_loss"])),
+        "param_checksum": checksum,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print("train worker", jax.process_index(), "done:", result, flush=True)
+
+
 def main():
     coord, nproc, pid, out_path = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcs_tpu_jax_cache")
@@ -33,6 +102,10 @@ def main():
     assert jax.process_count() == int(nproc), jax.process_count()
     assert len(jax.local_devices()) == 1
     assert len(jax.devices()) == int(nproc)
+
+    if mode == "train":
+        _train_mode(out_path, sys.argv[6])
+        return
 
     from tcs_tpu.config import ModelConfig, TrainConfig
     from tcs_tpu.data.loader import SequenceLoader

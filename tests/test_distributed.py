@@ -91,3 +91,105 @@ def test_two_process_loss_agrees_and_matches_single_process(worker_results):
     loss_single = float(np.asarray(metrics["live_loss"]))
     assert r0["loss"] == pytest.approx(loss_single, rel=2e-4), (
         r0["loss"], loss_single)
+
+
+@pytest.fixture(scope="module")
+def train_worker_results(tmp_path_factory):
+    """Run the FULL Trainer.train() driver under 2 jax.distributed
+    processes: loader sharding, collective Orbax checkpointing mid-run, and
+    a fresh-Trainer resume that continues to the target step."""
+    out_dir = tmp_path_factory.mktemp("dist_train")
+    shared_ckpt = str(out_dir / "ckpts")
+    port = _free_port()
+    coord = f"localhost:{port}"
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    for pid in range(2):
+        out = str(out_dir / f"result_{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests/distributed_worker.py"),
+             coord, "2", str(pid), out, "train", shared_ckpt],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"train worker failed:\n{log[-4000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_two_process_trainer_train_with_resume(train_worker_results):
+    r0, r1 = train_worker_results
+    # phase 1 stopped at step 2; the fresh Trainer found and resumed the
+    # step-2 checkpoint (params + opt_state + step) and finished at step 4
+    for r in (r0, r1):
+        assert r["step_phase1"] == 2, r
+        assert r["resumed_at"] == 2, r
+        assert r["final_step"] == 4, r
+    # the trained parameters are a global all-reduced quantity: identical
+    # across processes, as is the probe loss on the shared probe batch
+    assert r0["param_checksum"] == pytest.approx(r1["param_checksum"],
+                                                 rel=1e-9)
+    assert r0["probe_loss"] == pytest.approx(r1["probe_loss"], rel=1e-6)
+    assert np.isfinite(r0["probe_loss"])
+
+
+def test_two_process_trainer_matches_single_process(train_worker_results):
+    """The 2-process 4-step Trainer.train() trajectory (incl. mid-run
+    checkpoint + resume) must land on the same parameters as a
+    single-process 2-device run of the same global batches."""
+    import jax
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.data.loader import SequenceLoader
+    from tcs_tpu.data.synthetic import SyntheticStereoSequence
+    from tcs_tpu.train import make_train_step
+    from tcs_tpu.train.trainer import Trainer
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = TrainConfig(
+            batch_size=1, image_size=(32, 64), frame_length=1, train_iters=1,
+            num_steps=4, lr=1e-4, num_workers=1, validation_frequency=2,
+            checkpoint_dir=td, name="dist_train_single",
+            model=ModelConfig(mixed_precision=False),
+        )
+        ds = SyntheticStereoSequence(n_samples=8, frame_length=1, height=32,
+                                     width=64)
+        # Mirror the workers' two-phase structure: a resumed run restarts
+        # its loader epoch (exactly like the reference's sampler on
+        # restore), so phase boundaries are part of the trajectory.
+        t1 = Trainer(cfg, devices=jax.devices()[:2])
+        ts = t1.train(max_steps=2, dataset=ds)
+        assert int(ts.step) == 2
+        trainer = Trainer(cfg, devices=jax.devices()[:2])
+        assert trainer.ckpt.latest_step() == 2
+        ts = trainer.train(max_steps=4, dataset=ds)
+        assert int(ts.step) == 4
+
+        probe_loader = SequenceLoader(ds, batch_size=2, seed=123,
+                                      num_workers=1)
+        step_fn = make_train_step(trainer.model, cfg, donate=False)
+        _, metrics = step_fn(ts, trainer.make_batch(next(iter(probe_loader))))
+        probe_single = float(np.asarray(metrics["live_loss"]))
+        checksum_single = float(sum(
+            np.float64(np.sum(np.abs(np.asarray(x))))
+            for x in jax.tree_util.tree_leaves(ts.params)
+        ))
+
+    r0 = train_worker_results[0]
+    assert r0["param_checksum"] == pytest.approx(checksum_single, rel=1e-5), (
+        r0["param_checksum"], checksum_single)
+    assert r0["probe_loss"] == pytest.approx(probe_single, rel=2e-4), (
+        r0["probe_loss"], probe_single)
