@@ -109,6 +109,12 @@ def main():
                    help="override ModelConfig.corr_pad (zero-pad the corr "
                         "lookup features to a lane-aligned channel count)")
 
+    p.add_argument("--frame-parallel", action=_ap.BooleanOptionalAction,
+                   default=None,
+                   help="two-phase frame-parallel backward "
+                        "(TrainConfig.frame_parallel_backward): Phase A "
+                        "collects incoming states gradient-free, Phase B "
+                        "differentiates all frames folded into the batch")
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
     args = p.parse_args()
@@ -151,6 +157,8 @@ def main():
                              s for s in args.encode_save.split(",") if s)}),
                       **({} if args.losses_outside_scan is None else
                          {"losses_outside_scan": args.losses_outside_scan}),
+                      **({} if args.frame_parallel is None else
+                         {"frame_parallel_backward": args.frame_parallel}),
                       remat_frames=mode == "frame",
                       remat_save_names=save_names,
                       frame_unroll=args.frame_unroll,

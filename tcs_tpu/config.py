@@ -224,6 +224,24 @@ class TrainConfig:
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.
     frame_unroll: int = 1
+    # Two-phase frame-parallel backward. The temporal carries are
+    # stop-gradient on BOTH sides (reference detaches them,
+    # tc_stereo.py:221-242), so each frame's backward is independent of the
+    # others: Phase A runs the sequential frame scan WITHOUT gradient
+    # tracking purely to collect every frame's incoming TemporalState;
+    # Phase B then recomputes all frames' differentiable forwards FOLDED
+    # INTO THE BATCH AXIS (frame 0 = bootstrap group, frames 1.. = temporal
+    # group) and differentiates that. Same FLOPs as remat (Phase A replaces
+    # the backward's recompute, paid up front), but the backward becomes one
+    # big-batch program — (T−1)·B-sample conv gradients instead of T
+    # sequential B-sample accumulations — with no backward while loop, no
+    # scan-boundary carry copies and no checkpoint replay machinery.
+    # Numerically equivalent to the scan path up to fp reassociation
+    # (equivalence-tested). Requires losses_outside_scan. Memory: all
+    # frames' q-resolution activations are live for the backward (the
+    # encoder stays hoisted/chunked); enable model.remat_iter_cell to bound
+    # the iteration stack if HBM is tight.
+    frame_parallel_backward: bool = False
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"

@@ -135,6 +135,202 @@ def frame_losses_parts(flow_predictions, flow_q_predictions,
     return total, metrics
 
 
+def _hoisted_losses_tail(cfg: TrainConfig, params, raw, cost_volume, frames,
+                         B, Tn, H, W):
+    """Mask head + convex upsample + the four losses, batched over
+    (frames · iterations · batch). ``raw`` leaves are (T, it, B, h, w, c)
+    (disp_init/disp_mono: (T, B, h, w, 1)); ``cost_volume`` is
+    (T, B, h, w, W2); ``frames`` is a T-major FrameBatch."""
+    (disp_q_seq, refined_seq, grads_seq, fused_seq,
+     disp_init, disp_mono) = raw
+    n_it = cfg.train_iters
+    f = cfg.model.downsample_factor
+    h, w = H // f, W // f
+    dt = jnp.bfloat16 if cfg.model.mixed_precision else jnp.float32
+
+    def fold(x):  # (T, it, B, h, w, c) → (T·it·B, h, w, c)
+        return x.reshape(Tn * n_it * B, *x.shape[3:])
+
+    head_params = {"params": {
+        "upsample_mask_head": params["params"]["upsample_mask_head"]
+    }}
+    up_mask = TCSUpsampleMask(cfg.model, dtype=dt).apply(
+        head_params, fold(fused_seq))
+    flows_up = convex_upsample(
+        fold(-disp_q_seq), jax.lax.stop_gradient(up_mask), f,
+    ).reshape(Tn, n_it, B, H, W, 1)
+    flow_refine_up = convex_upsample(
+        fold(-refined_seq), up_mask, f,
+    ).reshape(Tn, n_it, B, H, W, 1)
+    flow_init_full = -float(f) * resize_bilinear(
+        disp_init.reshape(Tn * B, h, w, 1), (H, W),
+    ).reshape(Tn, B, H, W, 1)
+    flow_mono_full = -float(f) * resize_bilinear(
+        disp_mono.reshape(Tn * B, h, w, 1), (H, W),
+    ).reshape(Tn, B, H, W, 1)
+
+    # Per-frame losses via vmap over the frame axis: masked means keep each
+    # frame's own valid-count denominator (see frame_losses_parts), exactly
+    # like the in-scan path.
+    def per_frame(fu, fru, dq, rf, gr, fi, fm, cv, frame):
+        return frame_losses_parts(
+            (fu, fru), (-dq, -rf), gr, fi, fm, cv, frame, cfg)
+
+    return jax.vmap(per_frame)(
+        flows_up, flow_refine_up, disp_q_seq, refined_seq,
+        grads_seq, flow_init_full, flow_mono_full, cost_volume, frames)
+
+
+def _frame_parallel_loss(model: TCStereo, cfg: TrainConfig, params, frames,
+                         feats_t, cam: CameraParams,
+                         init_state: TemporalState):
+    """Two-phase frame-parallel loss (``TrainConfig.frame_parallel_backward``).
+
+    The temporal carries are stop-gradient on both sides, so the per-frame
+    losses — given each frame's incoming state — are independent functions
+    of the parameters. Phase A runs the sequential frame scan with gradients
+    severed purely to COLLECT the incoming states; Phase B recomputes every
+    frame's forward with the frame axis folded into the batch axis (frame 0
+    in the bootstrap group, frames 1..T−1 in one temporal group, since
+    ``TemporalState.valid`` is a group-uniform scalar) and evaluates the
+    hoisted losses on that. ``jax.grad`` then differentiates ONE big-batch
+    program instead of transposing a sequential scan-of-remat: conv weight
+    gradients contract once over (T−1)·B samples, and the backward has no
+    while loop, no scan-boundary carry copies and no checkpoint replay.
+    FLOP-neutral vs the remat path (Phase A replaces the backward's frame
+    recompute); numerics equal up to fp reassociation (equivalence-tested).
+    """
+    B = frames.image1.shape[1]
+    Tn = frames.image1.shape[0]
+    H, W = frames.image1.shape[2:4]
+    sg = jax.lax.stop_gradient
+
+    # --- Phase A: collect incoming temporal states (gradient-free) ---
+    def collect(state, xs):
+        frame, feat = xs
+        out = model.apply(
+            sg(params), frame.image1, frame.image2, state, cam, frame.T,
+            iters=cfg.train_iters, test_mode=False,
+            features=None if feat is None else jax.tree_util.tree_map(sg, feat),
+            raw_outputs=True,
+        )
+        return out.new_state, state  # emit the INCOMING state
+
+    _, states_in = jax.lax.scan(collect, init_state, (frames, feats_t))
+    states_in = sg(states_in)
+
+    # --- Phase B: all frames' differentiable forwards, frame axis folded
+    # into batch. Group 0 = frame 0 (bootstrap, valid=False); group 1 =
+    # frames 1..T−1 (temporal, valid=True). ---
+    def tb(x):  # (T', B, ...) → (T'·B, ...)
+        return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+    def head(tree):  # frame 0 slice
+        return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+    def tail_fold(tree):  # frames 1..T−1 folded
+        return jax.tree_util.tree_map(lambda x: tb(x[1:]), tree)
+
+    def run(frames_g, feats_g, state_g, n_rep):
+        cam_g = CameraParams(
+            K=jnp.concatenate([cam.K] * n_rep, axis=0),
+            baseline=jnp.concatenate([cam.baseline] * n_rep, axis=0),
+        )
+
+        def fwd(p, fg):
+            out = model.apply(
+                p, frames_g.image1, frames_g.image2, state_g, cam_g,
+                frames_g.T, iters=cfg.train_iters, test_mode=False,
+                features=fg, raw_outputs=True,
+            )
+            return out.raw, out.cost_volume
+
+        # Memory control (a (T−1)·B-batch frame body's forward+backward
+        # temps do not fit HBM concurrently — measured 34-35 G of 15.75 G):
+        # with cfg.remat_frames, checkpoint the whole group (saves only the
+        # q-resolution raw outputs; the backward replays the batched forward
+        # once, keeping the tagged iteration boundaries per the save-names
+        # policy). Without it (remat-mode 'cell'), rely on
+        # model.remat_iter_cell + a rolled iteration scan: the forward's
+        # non-iteration intermediates (cost volume, completor, warp) are
+        # saved rather than replayed and only the per-iteration cells
+        # recompute — less replay, more residency.
+        if not cfg.remat_frames:
+            return fwd(params, feats_g)
+        policy = None
+        if cfg.remat_save_names:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                *cfg.remat_save_names)
+        return jax.checkpoint(fwd, prevent_cse=False, policy=policy)(
+            params, feats_g)
+
+    state0 = TemporalState(
+        disp_q=states_in.disp_q[0], net_list=tuple(n[0] for n in
+                                                   states_in.net_list),
+        fmap1=states_in.fmap1[0], T_prev=states_in.T_prev[0],
+        valid=jnp.asarray(False),
+    )
+    raw0, cv0 = run(head(frames), None if feats_t is None else head(feats_t),
+                    state0, 1)
+    state1 = TemporalState(
+        disp_q=tb(states_in.disp_q[1:]),
+        net_list=tuple(tb(n[1:]) for n in states_in.net_list),
+        fmap1=tb(states_in.fmap1[1:]), T_prev=tb(states_in.T_prev[1:]),
+        valid=jnp.asarray(True),
+    )
+    raw1, cv1 = run(tail_fold(frames),
+                    None if feats_t is None else tail_fold(feats_t),
+                    state1, Tn - 1)
+
+    # Stitch groups back to the (T, it, B, ...) layout of the scan path.
+    def stitch_it(a, b):  # (it, B, ...) + (it, (T−1)B, ...) → (T, it, B, ...)
+        x = jnp.concatenate([a, b], axis=1)
+        x = x.reshape(x.shape[0], Tn, B, *x.shape[2:])
+        return jnp.swapaxes(x, 0, 1)
+
+    def stitch_b(a, b):  # (B, ...) + ((T−1)B, ...) → (T, B, ...)
+        x = jnp.concatenate([a, b], axis=0)
+        return x.reshape(Tn, B, *x.shape[1:])
+
+    # raw = (disp_q_seq, refined_seq, grads_seq, fused_seq, disp_init,
+    # disp_mono): the first four carry a leading iteration axis.
+    raw = tuple(
+        stitch_it(a, b) if i < 4 else stitch_b(a, b)
+        for i, (a, b) in enumerate(zip(raw0, raw1))
+    )
+    cost_volume = stitch_b(cv0, cv1)
+
+    # Remat the loss tail: the convex-upsample's full-resolution
+    # (T·it·B, h, 4, w, 4, ·) product residuals measure ~3.8 GB at the
+    # TartanAir recipe — saved here they push Phase B over HBM. The tail's
+    # replay is cheap (mask head + upsample + elementwise losses) and the
+    # GT-side tensors stay saved via the 'loss_gt' tags.
+    # Loss tail as a per-frame scan-of-remat: the convex-upsample backward
+    # materialises (it·B, h, 4, w, 4, ·) fp32 product temps — ~3.7 GB if all
+    # T frames' tails are live at once (they pushed Phase B 0.26 G over
+    # HBM). One frame at a time bounds that to ~0.9 GB; the tail's replay is
+    # cheap elementwise work and the GT-side tensors stay saved via the
+    # 'loss_gt' tags.
+    def tail_body(carry, xs):
+        raw_f, cv_f, frame_f = xs
+        raw_1 = jax.tree_util.tree_map(lambda x: x[None], raw_f)
+        cv_1 = cv_f[None]
+        frame_1 = jax.tree_util.tree_map(lambda x: x[None], frame_f)
+        fl, mets = _hoisted_losses_tail(cfg, params, raw_1, cv_1, frame_1,
+                                        B, 1, H, W)
+        return carry, (fl[0], jax.tree_util.tree_map(lambda m: m[0], mets))
+
+    tail_body = jax.checkpoint(
+        tail_body, prevent_cse=False,
+        policy=jax.checkpoint_policies.save_only_these_names("loss_gt"),
+    )
+    _, (frame_loss, metrics) = jax.lax.scan(
+        tail_body, (), (raw, cost_volume, frames))
+    loss = jnp.mean(frame_loss)
+    metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+    return loss, metrics
+
+
 def make_train_step(model: TCStereo, cfg: TrainConfig,
                     donate: bool = True) -> Callable:
     """Build the jitted train step: (TrainState, SequenceBatch) → (TrainState,
@@ -215,6 +411,16 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
 
         hoist_losses = cfg.losses_outside_scan
 
+        frames = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1),
+            FrameBatch(batch.image1, batch.image2, batch.flow, batch.valid,
+                       batch.T),
+        )
+
+        if cfg.frame_parallel_backward and Tn > 1 and hoist_losses:
+            return _frame_parallel_loss(model, cfg, params, frames, feats_t,
+                                        cam, init_state)
+
         def frame_step(state, xs):
             frame, feat = xs
             out = model.apply(
@@ -238,56 +444,14 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
             frame_step = jax.checkpoint(frame_step, prevent_cse=False,
                                         policy=policy)
 
-        frames = jax.tree_util.tree_map(
-            lambda x: jnp.swapaxes(x, 0, 1),
-            FrameBatch(batch.image1, batch.image2, batch.flow, batch.valid,
-                       batch.T),
-        )
         _, ys = jax.lax.scan(
             frame_step, init_state, (frames, feats_t),
             unroll=min(cfg.frame_unroll, cfg.frame_length))
 
         if hoist_losses:
             raw, cost_volume = ys
-            (disp_q_seq, refined_seq, grads_seq, fused_seq,
-             disp_init, disp_mono) = raw
-            n_it = cfg.train_iters
-            f = cfg.model.downsample_factor
-            h, w = H // f, W // f
-            dt = jnp.bfloat16 if cfg.model.mixed_precision else jnp.float32
-
-            def fold(x):  # (T, it, B, h, w, c) → (T·it·B, h, w, c)
-                return x.reshape(Tn * n_it * B, *x.shape[3:])
-
-            head_params = {"params": {
-                "upsample_mask_head": params["params"]["upsample_mask_head"]
-            }}
-            up_mask = TCSUpsampleMask(cfg.model, dtype=dt).apply(
-                head_params, fold(fused_seq))
-            flows_up = convex_upsample(
-                fold(-disp_q_seq), jax.lax.stop_gradient(up_mask), f,
-            ).reshape(Tn, n_it, B, H, W, 1)
-            flow_refine_up = convex_upsample(
-                fold(-refined_seq), up_mask, f,
-            ).reshape(Tn, n_it, B, H, W, 1)
-            flow_init_full = -float(f) * resize_bilinear(
-                disp_init.reshape(Tn * B, h, w, 1), (H, W),
-            ).reshape(Tn, B, H, W, 1)
-            flow_mono_full = -float(f) * resize_bilinear(
-                disp_mono.reshape(Tn * B, h, w, 1), (H, W),
-            ).reshape(Tn, B, H, W, 1)
-
-            # Per-frame losses via vmap over the frame axis: masked means
-            # keep each frame's own valid-count denominator (see
-            # frame_losses_parts), exactly like the in-scan path.
-            def per_frame(fu, fru, dq, rf, gr, fi, fm, cv, frame):
-                return frame_losses_parts(
-                    (fu, fru), (-dq, -rf), gr, fi, fm, cv, frame, cfg)
-
-            frame_loss, metrics = jax.vmap(per_frame)(
-                flows_up, flow_refine_up, disp_q_seq, refined_seq,
-                grads_seq, flow_init_full, flow_mono_full, cost_volume,
-                frames)
+            frame_loss, metrics = _hoisted_losses_tail(
+                cfg, params, raw, cost_volume, frames, B, Tn, H, W)
         else:
             frame_loss, metrics = ys
         loss = jnp.mean(frame_loss)  # Σ/frame_length

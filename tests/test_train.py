@@ -646,3 +646,45 @@ def test_metrics_logger_image_hooks(tmp_path, monkeypatch):
     logger3 = MetricsLogger(use_wandb=False)
     logger3.log_feature_map("x", feats)
     logger3.log_error_map("x", pred, gt)
+
+
+def test_frame_parallel_backward_matches_scan_path(train_setup):
+    """TrainConfig.frame_parallel_backward: the two-phase big-batch loss
+    (Phase A sequential state collection, Phase B frame-folded
+    differentiable forwards) must match the default remat'd frame scan —
+    the carries are stop-gradient, so the two formulations compute the
+    same losses and gradients up to fp reassociation."""
+    import dataclasses
+
+    cfg, model, ts, batch = train_setup
+    step_ref = make_train_step(model, cfg, donate=False)
+    ts_ref, m_ref = step_ref(ts, batch)
+
+    # (a) group-remat variant (remat_frames=True default) and (b) the
+    # cell-remat variant that skips the outer group checkpoint — the
+    # memory-bounded config measured on TPU (rolled iteration scan).
+    variants = [
+        dataclasses.replace(cfg, frame_parallel_backward=True,
+                            remat_frames=True),
+        dataclasses.replace(
+            cfg, frame_parallel_backward=True, remat_frames=False,
+            model=dataclasses.replace(cfg.model, remat_iter_cell=True,
+                                      scan_unroll=1)),
+    ]
+    for cfg_fp in variants:
+        step_fp = make_train_step(model, cfg_fp, donate=False)
+        ts_fp, m_fp = step_fp(ts, batch)
+
+        for k in sorted(m_ref):
+            np.testing.assert_allclose(float(m_fp[k]), float(m_ref[k]),
+                                       rtol=5e-3, atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(float(m_fp["live_loss"]),
+                                   float(m_ref["live_loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_fp["grad_norm"]),
+                                   float(m_ref["grad_norm"]), rtol=1e-3)
+        # the optimizer update itself must agree
+        d_ref = jax.tree_util.tree_leaves(ts_ref.params)
+        d_fp = jax.tree_util.tree_leaves(ts_fp.params)
+        worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                    for a, b in zip(d_ref, d_fp))
+        assert worst < 5e-4, worst
