@@ -109,6 +109,9 @@ def main():
                    help="override ModelConfig.corr_pad (zero-pad the corr "
                         "lookup features to a lane-aligned channel count)")
 
+    p.add_argument("--split-transpose", action=_ap.BooleanOptionalAction,
+                   default=None,
+                   help="lax.scan _split_transpose on the frame scan")
     p.add_argument("--frame-parallel", action=_ap.BooleanOptionalAction,
                    default=None,
                    help="two-phase frame-parallel backward "
@@ -159,6 +162,8 @@ def main():
                          {"losses_outside_scan": args.losses_outside_scan}),
                       **({} if args.frame_parallel is None else
                          {"frame_parallel_backward": args.frame_parallel}),
+                      **({} if args.split_transpose is None else
+                         {"frame_scan_split_transpose": args.split_transpose}),
                       remat_frames=mode == "frame",
                       remat_save_names=save_names,
                       frame_unroll=args.frame_unroll,

@@ -27,6 +27,27 @@ def main():
     p.add_argument("--sharded", action="store_true",
                    help="distribute sequences over all devices (one stream "
                         "per device; reference nn.DataParallel analogue)")
+    # Architecture choices, duplicated from the train CLI exactly as the
+    # reference duplicates them (evaluate_stereo.py:354-373) — a checkpoint
+    # trained with non-default architecture flags needs the same flags to
+    # evaluate. Defaults of None keep ModelConfig defaults.
+    p.add_argument("--corr_levels", type=int, default=None)
+    p.add_argument("--corr_radius", type=int, default=None)
+    p.add_argument("--n_downsample", type=int, default=None)
+    p.add_argument("--n_gru_layers", type=int, default=None)
+    p.add_argument("--hidden_dims", type=int, nargs="+", default=None)
+    p.add_argument("--context_norm", default=None,
+                   choices=["group", "batch", "instance", "none"])
+    p.add_argument("--shared_backbone", dest="shared_backbone",
+                   action="store_true", default=None)
+    p.add_argument("--no_shared_backbone", dest="shared_backbone",
+                   action="store_false")
+    p.add_argument("--slow_fast_gru", dest="slow_fast_gru",
+                   action="store_true", default=None)
+    p.add_argument("--mixed_precision", dest="mixed_precision",
+                   action="store_true", default=None)
+    p.add_argument("--no_mixed_precision", dest="mixed_precision",
+                   action="store_false")
     args = p.parse_args()
 
     if args.restore_ckpt:
@@ -45,7 +66,19 @@ def main():
     from tcs_tpu.models import CameraParams, TCStereo, TemporalState
     from tcs_tpu.utils.checkpoint import CheckpointManager, load_params
 
-    cfg = ModelConfig()
+    import dataclasses
+
+    overrides = {}
+    for key in ("corr_levels", "corr_radius", "n_downsample", "n_gru_layers",
+                "context_norm", "shared_backbone", "slow_fast_gru",
+                "mixed_precision"):
+        v = getattr(args, key)
+        if v is not None:
+            overrides[key] = v
+    if args.hidden_dims is not None:
+        overrides["hidden_dims"] = tuple(args.hidden_dims)
+        overrides["context_dims"] = tuple(args.hidden_dims)
+    cfg = ModelConfig(**overrides)
     model = TCStereo(cfg=cfg)
 
     # Build a parameter skeleton, then restore.

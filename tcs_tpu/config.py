@@ -224,6 +224,10 @@ class TrainConfig:
     # XLA lay out each frame's remat recompute independently of the backward
     # scan body — measured effect documented in scripts/bench_train.py.
     frame_unroll: int = 1
+    # lax.scan(_split_transpose=True) on the frame scan: XLA transposes the
+    # scan into separate recompute and accumulate loops. Measured effect on
+    # the backward's boundary copies documented in PERF.md round 4.
+    frame_scan_split_transpose: bool = False
     # Two-phase frame-parallel backward. The temporal carries are
     # stop-gradient on BOTH sides (reference detaches them,
     # tc_stereo.py:221-242), so each frame's backward is independent of the

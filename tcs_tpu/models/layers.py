@@ -77,8 +77,11 @@ class BatchNorm(nn.Module):
     The reference never enables BatchNorm in its recipes (context_norm is
     'none'; the only BN mentions are the commented-out freeze path,
     ``train_stereo.py:315-319``). We provide train-mode BN (statistics from
-    the current batch, no running averages) for config parity; under the DP
-    mesh this is per-shard BN, i.e. DDP-without-SyncBN semantics.
+    the current batch, no running averages) for config parity. Under the DP
+    mesh the ``jnp.mean`` over the sharded batch axis is the GLOBAL batch
+    mean (XLA inserts the all-reduce), so this is SyncBatchNorm semantics
+    by construction — the reference's ``--sync_bn`` wrap has no analogue to
+    add (tested: test_train::test_batchnorm_is_sync_bn_under_mesh).
     """
 
     dtype: Any = jnp.float32

@@ -446,7 +446,13 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
 
         _, ys = jax.lax.scan(
             frame_step, init_state, (frames, feats_t),
-            unroll=min(cfg.frame_unroll, cfg.frame_length))
+            unroll=min(cfg.frame_unroll, cfg.frame_length),
+            # Experimental XLA option: transpose the scan as two loops (one
+            # recomputation sweep + one cotangent-accumulation sweep)
+            # instead of one fused backward while loop — changes where the
+            # boundary copies land. Measured on the TartanAir recipe
+            # (PERF.md round 4).
+            _split_transpose=cfg.frame_scan_split_transpose)
 
         if hoist_losses:
             raw, cost_volume = ys

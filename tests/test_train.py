@@ -688,3 +688,33 @@ def test_frame_parallel_backward_matches_scan_path(train_setup):
         worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
                     for a, b in zip(d_ref, d_fp))
         assert worst < 5e-4, worst
+
+
+def test_batchnorm_is_sync_bn_under_mesh():
+    """The reference needs --sync_bn because DDP's BatchNorm computes
+    per-process statistics (train_stereo.py:283-284). Under pjit on the DP
+    mesh there is no such thing as 'local' statistics: jnp.mean over the
+    sharded batch axis IS the global-batch mean (XLA inserts the
+    all-reduce), so context_norm='batch' gets SyncBatchNorm semantics by
+    construction. Pinned: BatchNorm over a batch sharded across all 8
+    virtual devices equals the unsharded single-device result."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tcs_tpu.models.layers import BatchNorm
+    from tcs_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.create_mesh()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 4, 6, 16)).astype(np.float32) * 3 + 1
+
+    bn = BatchNorm()
+    params = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    ref = np.asarray(bn.apply(params, jnp.asarray(x)))
+
+    x_sharded = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("data")))
+    with mesh:
+        out = jax.jit(lambda p, v: bn.apply(p, v))(params, x_sharded)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
