@@ -792,3 +792,60 @@ def test_single_pair_loading(tmp_path, rng):
     assert s["flow"].shape == (48, 64, 1)
     assert s["flow"].max() <= 0.0
     assert set(np.unique(s["valid"])).issubset({0.0, 1.0})
+
+
+def test_submit_kitti_end_to_end(tmp_path):
+    """submit_kitti smoke over a fabricated KITTI-seq tree (reference
+    evaluate_stereo.py:28-117): per-scene P_rect_02 intrinsics, ORB-SLAM3
+    pose file, temporal state carried over 11 frames, and the frame-10
+    disparity written as the uint16 x256 submission PNG."""
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from tcs_tpu.config import ModelConfig
+    from tcs_tpu.evaluate import submit_kitti
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+
+    H, W = 64, 96
+    scene = tmp_path / "kitti_seq" / "kitti2015_testings" / "sequences" / "000000"
+    (scene / "image_2").mkdir(parents=True)
+    (scene / "image_3").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (H, W + 16, 3)).astype(np.uint8)
+    for t in range(11):
+        # a horizontally sliding static scene; right image shifted 4 px
+        l = base[:, t : t + W]
+        r = np.roll(l, 4, axis=1)
+        Image.fromarray(l).save(scene / "image_2" / f"{t:06d}.png")
+        Image.fromarray(r).save(scene / "image_3" / f"{t:06d}.png")
+    poses = []
+    for t in range(11):
+        T = np.eye(4)[:3].copy()
+        T[0, 3] = 0.01 * t
+        poses.append(" ".join(f"{v:.6f}" for v in T.reshape(-1)))
+    (scene / "orbslam3_pose.txt").write_text("\n".join(poses) + "\n")
+    p = [100.0, 0.0, W / 2, 0.0, 0.0, 100.0, H / 2, 0.0, 0.0, 0.0, 1.0, 0.0]
+    (scene / "000000.txt").write_text(
+        "P_rect_02: " + " ".join(str(v) for v in p) + "\n")
+
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32")
+    model = TCStereo(cfg=cfg)
+    state0 = TemporalState.zeros(1, H, W, cfg)
+    cam = CameraParams(K=jnp.eye(3)[None], baseline=jnp.ones((1,)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+                        jnp.zeros((1, H, W, 3)), state0, cam,
+                        jnp.eye(4)[None], iters=1, test_mode=True)
+
+    out_dir = tmp_path / "out"
+    results = submit_kitti(model, params, cfg, iters=2, root=str(tmp_path),
+                           out_dir=str(out_dir), submission=True)
+    assert "kitti-fps" in results
+    png = out_dir / "disp_0" / "000000_10.png"
+    assert png.exists()
+    img = Image.open(png)
+    arr = np.array(img)
+    assert arr.dtype == np.uint16 and arr.shape == (H, W)
+    # x256 encoding of a finite non-negative disparity
+    assert arr.max() >= 0 and np.isfinite(arr.astype(np.float64)).all()
