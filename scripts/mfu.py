@@ -26,9 +26,9 @@ import numpy as np
 V5E_PEAK_BF16 = 197e12
 
 RECIPES = {
-    "sceneflow": dict(H=320, W=720, T=2, B=4, step_ms=656.9),
-    "tartanair": dict(H=480, W=640, T=4, B=4, step_ms=1795.8),
-    "kitti": dict(H=320, W=1024, T=4, B=4, step_ms=2063.2),
+    "sceneflow": dict(H=320, W=720, T=2, B=4, step_ms=573.7),
+    "tartanair": dict(H=480, W=640, T=4, B=4, step_ms=1566.3),
+    "kitti": dict(H=320, W=1024, T=4, B=4, step_ms=1757.1),
 }
 INFER = dict(H=384, W=1280, ms_per_frame=33.8)
 
