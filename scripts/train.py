@@ -104,6 +104,11 @@ def main():
                    help="bf16 conv stacks (fp32 correlation/geometry)")
     p.add_argument("--no_mixed_precision", dest="mixed_precision",
                    action="store_false", help="run everything in fp32")
+    p.add_argument("--frame_parallel_backward", action="store_true",
+                   default=None,
+                   help="two-phase big-batch BPTT backward (equivalence-"
+                        "tested; wins on >=32G-HBM chips, loses ~10%% on "
+                        "16G v5e — see PERF.md round 4)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--validate", action="store_true",
                    help="run the recipe's validation every 10k steps")
@@ -129,7 +134,8 @@ def main():
     for key in ("data_root", "checkpoint_dir", "restore_ckpt", "num_steps",
                 "batch_size", "lr", "num_workers", "yjitter",
                 "train_dataset", "frame_length", "do_flip", "name",
-                "train_iters", "valid_iters", "wdecay", "init_k"):
+                "train_iters", "valid_iters", "wdecay", "init_k",
+                "frame_parallel_backward"):
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
