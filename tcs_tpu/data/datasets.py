@@ -356,6 +356,9 @@ class TartanAir(StereoSequenceDataset):
     def __init__(self, aug_params=None, root="datasets", scene_list=(),
                  test_keywords=(), is_test=False, mode="single_frame",
                  frame_sample_length=4, load_flow=False):
+        # ``scene_list`` is accepted-and-unused for signature parity with the
+        # reference ctor (stereo_datasets.py:452), which likewise ignores it —
+        # the train/valid split is driven solely by ``test_keywords``.
         super().__init__(
             aug_params, reader=frame_utils.readDispTartanAir,
             temporal=(mode == "temporal"),

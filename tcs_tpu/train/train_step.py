@@ -300,11 +300,6 @@ def _frame_parallel_loss(model: TCStereo, cfg: TrainConfig, params, frames,
     )
     cost_volume = stitch_b(cv0, cv1)
 
-    # Remat the loss tail: the convex-upsample's full-resolution
-    # (T·it·B, h, 4, w, 4, ·) product residuals measure ~3.8 GB at the
-    # TartanAir recipe — saved here they push Phase B over HBM. The tail's
-    # replay is cheap (mask head + upsample + elementwise losses) and the
-    # GT-side tensors stay saved via the 'loss_gt' tags.
     # Loss tail as a per-frame scan-of-remat: the convex-upsample backward
     # materialises (it·B, h, 4, w, 4, ·) fp32 product temps — ~3.7 GB if all
     # T frames' tails are live at once (they pushed Phase B 0.26 G over
@@ -417,9 +412,18 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
                        batch.T),
         )
 
-        if cfg.frame_parallel_backward and Tn > 1 and hoist_losses:
-            return _frame_parallel_loss(model, cfg, params, frames, feats_t,
-                                        cam, init_state)
+        if cfg.frame_parallel_backward:
+            if Tn > 1 and hoist_losses:
+                return _frame_parallel_loss(model, cfg, params, frames,
+                                            feats_t, cam, init_state)
+            # The two-phase formulation needs the hoisted loss tail and a
+            # multi-frame window; silently falling back would benchmark the
+            # wrong formulation while the user believes the knob is active.
+            logging.getLogger(__name__).warning(
+                "frame_parallel_backward requires losses_outside_scan and "
+                "frame_length>1 (got losses_outside_scan=%s, frame_length=%d);"
+                " falling back to the sequential frame scan",
+                hoist_losses, Tn)
 
         def frame_step(state, xs):
             frame, feat = xs

@@ -450,6 +450,158 @@ def test_train_mode_parity(torch_reference, ref_train):
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_train_mode_parity_kitti_raw(torch_reference, ref_train):
+    """KITTI_raw-recipe variant of the train-mode loss A/B: sparse
+    (block-structured) valid masks through the ``dense_gt=False`` loss branch
+    (reference ``train_stereo.py:391,397`` — ``train_dataset == 'kitti_raw'``
+    switches the normal/grad losses to the strict
+    ``F.interpolate(align_corners=True) == 1`` mask).
+
+    The per-tensor model-output parity is already pinned by
+    ``test_train_mode_parity`` (same weights, same shapes), and exact-fp
+    parity of the sparse-mask semantic by
+    ``test_loss_parity.py::test_grad_and_normal_loss_parity_sparse_gt`` —
+    this test pins the WIRING: ``TrainConfig(train_dataset='kitti_raw')``
+    must reach ``frame_losses_parts`` as ``dense_gt=False``, on real model
+    outputs, frame 1. The fixture's architecture flags equal the KITTI
+    recipe's (context_norm none, shared_backbone, init_thres 0.5,
+    ``KITTI_ddp_train.sh``); init_k keeps the recipe default 3.
+    """
+    import torch
+
+    import core.utils.geo_utils as geo_utils_ref
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+    from tcs_tpu.train.train_step import FrameBatch, frame_losses_parts
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    geo_utils_ref.softsplat = _softsplat_cpu
+
+    B, H, W = 1, 64, 96
+    iters = 2
+    rng = np.random.default_rng(23)
+    img1 = rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32)
+
+    base = rng.uniform(5, 25, size=(B, 1, 1, 1)).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ramp = (2.0 * xx / W + 1.0 * yy / H).astype(np.float32)[None, ..., None]
+    flow_gt = -(base + 3.0 * ramp)
+    # KITTI-lidar-like sparsity: 16×16 coverage blocks (~60% dense) with 5%
+    # per-pixel dropouts inside them. The dropouts make the two mask
+    # semantics genuinely different (max-pool>0 keeps a window with ANY
+    # valid pixel; strict ==1 kills every window touching a dropout) — on
+    # pure blocks aligned to the 4× grid they coincide and the A/B would
+    # have no detection power.
+    blocks = rng.uniform(size=(B, H // 16, W // 16, 1)) > 0.4
+    valid = np.kron(blocks, np.ones((1, 16, 16, 1))).astype(np.float32)
+    valid *= (rng.uniform(size=(B, H, W, 1)) > 0.05).astype(np.float32)
+
+    def nchw(x):
+        return torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+    # --- reference: train-mode frame-1 forward + the 4 losses, sparse GT ---
+    torch_reference.train()
+    try:
+        n_pred = iters
+        adj = 0.9 ** (15 / (n_pred - 1))
+        weights = [adj ** (n_pred - 1 - i) for i in range(n_pred)]
+        with torch.no_grad():
+            o1 = torch_reference(nchw(img1), nchw(img2), iters=iters,
+                                 params=None, test_mode=False)
+        fgt_t, v_t = nchw(flow_gt), nchw(valid)
+        mag = torch.sum(fgt_t ** 2, dim=1).sqrt()
+        v_t = ((v_t[:, 0] >= 0.5) & (mag < 700)).unsqueeze(1)
+        grad_gt, _ = geo_utils_ref.disp2disp_gradient_xy(-fgt_t)
+        norm_gt = torch.nn.functional.normalize(
+            torch.cat((grad_gt, -torch.ones_like(grad_gt[:, :1])), dim=1),
+            dim=1)
+        seq_r, _ = ref_train.sequence_loss(
+            o1["flow_mono"], o1["flow_init"], o1["flow_predictions"],
+            fgt_t, v_t, weights)
+        ini_r, _ = ref_train.init_loss(
+            o1["cost_volume"], fgt_t, v_t, k=3, scale=0.25, threshold=0.5)
+        nrm_r, _ = ref_train.disp_normal_loss(
+            o1["flow_q_predictions"], norm_gt, v_t, weights,
+            scale=0.25, dense_gt=False)
+        grd_r, _ = ref_train.disp_grad_loss(
+            o1["disp_grad_q_predictions"], grad_gt, v_t, weights,
+            scale=0.25, dense_gt=False)
+    finally:
+        torch_reference.eval()
+    assert not np.isnan(float(nrm_r)) and not np.isnan(float(grd_r))
+
+    # --- tcs_tpu: same weights, kitti_raw recipe loss config ---
+    sd = {k: v.numpy() for k, v in torch_reference.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, convert_state_dict(sd))
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32",
+                      argmax_margin=0.3, init_thres=0.5)
+    model = TCStereo(cfg=cfg)
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]],
+                 np.float32)[None]
+    cam = CameraParams(K=jnp.asarray(K), baseline=jnp.asarray([0.5], np.float32))
+    out = model.apply(params, jnp.asarray(img1), jnp.asarray(img2),
+                      TemporalState.zeros(B, H, W, cfg), cam,
+                      jnp.eye(4)[None], iters=iters, test_mode=False)
+
+    frame = FrameBatch(image1=jnp.asarray(img1), image2=jnp.asarray(img2),
+                       flow=jnp.asarray(flow_gt), valid=jnp.asarray(valid),
+                       T=jnp.eye(4)[None])
+
+    def scalars(tcfg):
+        total, metrics = frame_losses_parts(
+            out.flow_predictions, out.flow_q_predictions,
+            out.disp_grad_q_predictions, out.flow_init, out.flow_mono,
+            out.cost_volume, frame, tcfg)
+        return float(total), metrics
+
+    tcfg = TrainConfig(model=cfg, train_dataset="kitti_raw", init_k=3,
+                       frame_length=1, train_iters=iters)
+    total, metrics = scalars(tcfg)
+    ref_total = (float(seq_r) + float(ini_r) + 0.25 * float(nrm_r)
+                 + 5.0 * float(grd_r))
+    # model-output fp divergence (≤5e-2/pixel) + fp-ambiguous mask flips at
+    # block boundaries propagate into the masked means → 5e-2 tol.
+    np.testing.assert_allclose(float(metrics["norm_loss"]), float(nrm_r),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(float(metrics["grad_loss"]), float(grd_r),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(float(metrics["init_loss"]), float(ini_r),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(total, ref_total, rtol=5e-2, atol=5e-2)
+
+    # Wiring check (exact): frame_losses_parts under the kitti_raw config
+    # must produce bit-identical grad loss to a DIRECT dense_gt=False call on
+    # the same tensors — and the two mask semantics must be consequentially
+    # different on this sparse valid (strict ==1 keeps strictly fewer pixels
+    # than max-pool>0), so a wiring bug could not hide behind equal masks.
+    from tcs_tpu import losses as L
+    from tcs_tpu.geometry import disp2disp_gradient_xy as our_grad_xy
+    from tcs_tpu.ops.sampler import max_pool, resize_bilinear
+
+    jvalid = jnp.asarray(valid)
+    mag_j = jnp.sqrt(jnp.sum(frame.flow ** 2, axis=-1, keepdims=True))
+    v_eff = (jvalid >= 0.5) & (mag_j < 700.0)
+    grad_gt_j, _ = our_grad_xy(-frame.flow)
+    w_j = L.loss_weights(iters, 0.9)
+    direct_sparse, _ = L.disp_grad_loss(
+        jnp.stack(list(out.disp_grad_q_predictions)), grad_gt_j, v_eff, w_j,
+        scale=0.25, dense_gt=False)
+    direct_dense, _ = L.disp_grad_loss(
+        jnp.stack(list(out.disp_grad_q_predictions)), grad_gt_j, v_eff, w_j,
+        scale=0.25, dense_gt=True)
+    assert float(metrics["grad_loss"]) == float(direct_sparse)
+    tcfg_dense = TrainConfig(model=cfg, train_dataset="TartanAir", init_k=3,
+                             frame_length=1, train_iters=iters)
+    _, metrics_dense = scalars(tcfg_dense)
+    assert float(metrics_dense["grad_loss"]) == float(direct_dense)
+    n_strict = int((resize_bilinear(v_eff.astype(jnp.float32),
+                                    (H // 4, W // 4)) == 1.0).sum())
+    n_pool = int((max_pool(v_eff.astype(jnp.float32), 4, 4, 0) > 0).sum())
+    assert 0 < n_strict < n_pool
+
+
 def test_forward_parity_second_frame(torch_reference):
     """A/B the TEMPORAL (frame >= 2) path against the torch reference.
 
