@@ -849,3 +849,223 @@ def test_submit_kitti_end_to_end(tmp_path):
     assert arr.dtype == np.uint16 and arr.shape == (H, W)
     # x256 encoding of a finite non-negative disparity
     assert arr.max() >= 0 and np.isfinite(arr.astype(np.float64)).all()
+
+
+# ---------------------------------------------------------------------------
+# SceneFlow (FlyingThings3D + Monkaa + Driving) on a fabricated tree
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fake_sceneflow(tmp_path_factory):
+    """Fabricated SceneFlow layout (reference stereo_datasets.py:247-402):
+    FlyingThings3D TRAIN/TEST with camera_data.txt poses, Monkaa, and
+    Driving with 15mm/35mm focal-length subtrees. One FT TRAIN scene has a
+    trailing frame without a pose (the reference trims it, :283-289)."""
+    root = tmp_path_factory.mktemp("sceneflow")
+    g = np.random.default_rng(7)
+    h, w = 64, 96
+
+    def write_scene(img_dir, disp_dir, pose_path, n_imgs, n_poses):
+        (img_dir / "left").mkdir(parents=True)
+        (img_dir / "right").mkdir(parents=True)
+        (disp_dir / "left").mkdir(parents=True)
+        for i in range(n_imgs):
+            img = g.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+            Image.fromarray(img).save(img_dir / "left" / f"{i:04d}.png")
+            Image.fromarray(np.roll(img, 4, axis=1)).save(
+                img_dir / "right" / f"{i:04d}.png")
+            frame_utils.writePFM(
+                str(disp_dir / "left" / f"{i:04d}.pfm"),
+                g.uniform(1, 30, size=(h, w)).astype(np.float32))
+        if n_poses is not None:
+            pose_path.parent.mkdir(parents=True, exist_ok=True)
+            lines = []
+            for i in range(n_poses):
+                T = np.eye(4)
+                T[0, 3] = 0.1 * i  # cam->world; the parser inverts
+                lines.append("L " + " ".join(
+                    f"{v:.6f}" for v in T.reshape(-1)))
+                lines.append("R " + " ".join(
+                    f"{v:.6f}" for v in T.reshape(-1)))
+            pose_path.write_text("\n".join(lines) + "\n")
+
+    ft = root / "FlyingThings3D"
+    # TRAIN: scene A/0000 (5 frames, 5 poses), B/0001 (4 frames, 3 poses —
+    # the trailing un-posed frame the reference trims)
+    write_scene(ft / "frames_cleanpass/TRAIN/A/0000",
+                ft / "disparity/TRAIN/A/0000",
+                ft / "pose/TRAIN/A/0000/camera_data.txt", 5, 5)
+    write_scene(ft / "frames_cleanpass/TRAIN/B/0001",
+                ft / "disparity/TRAIN/B/0001",
+                ft / "pose/TRAIN/B/0001/camera_data.txt", 4, 3)
+    # TEST: two scenes for things_test index-by-scene
+    write_scene(ft / "frames_cleanpass/TEST/A/0000",
+                ft / "disparity/TEST/A/0000",
+                ft / "pose/TEST/A/0000/camera_data.txt", 3, 3)
+    write_scene(ft / "frames_cleanpass/TEST/A/0001",
+                ft / "disparity/TEST/A/0001",
+                ft / "pose/TEST/A/0001/camera_data.txt", 4, 4)
+    mk = root / "Monkaa"
+    write_scene(mk / "frames_cleanpass/funnyworld_x2",
+                mk / "disparity/funnyworld_x2",
+                mk / "pose/funnyworld_x2/camera_data.txt", 4, 4)
+    dr = root / "Driving"
+    write_scene(dr / "frames_cleanpass/15mm_focallength/scene_forwards/fast",
+                dr / "disparity/15mm_focallength/scene_forwards/fast",
+                dr / "pose/15mm_focallength/scene_forwards/fast/camera_data.txt",
+                3, 3)
+    write_scene(dr / "frames_cleanpass/35mm_focallength/scene_forwards/slow",
+                dr / "disparity/35mm_focallength/scene_forwards/slow",
+                dr / "pose/35mm_focallength/scene_forwards/slow/camera_data.txt",
+                3, 3)
+    return str(root)
+
+
+def test_sceneflow_temporal_train_index(fake_sceneflow):
+    """Window slicing + per-subset K selection (reference
+    stereo_datasets.py:247-402): FT windows (incl. the un-posed trailing
+    frame trim), Monkaa, Driving 15mm vs 35mm intrinsics."""
+    from tcs_tpu.data.datasets import (
+        SCENEFLOW_K, SCENEFLOW_K_15MM, SceneFlowDatasets)
+
+    ds = SceneFlowDatasets(None, root=fake_sceneflow, mode="temporal",
+                           frame_sample_length=2)
+    # FT A/0000: 5-2+1=4; FT B/0001 trimmed to 3 frames: 2; Monkaa 4: 3;
+    # Driving 15mm 3: 2; Driving 35mm 3: 2.
+    assert len(ds) == 4 + 2 + 3 + 2 + 2
+    # every sample window is L consecutive frames with aligned pose count
+    for i in range(len(ds)):
+        l, r = ds.image_list[i]
+        assert len(l) == len(r) == len(ds.disparity_list[i]) == 2
+        assert len(ds.pose_list[i]) == 2
+        assert all(a.replace("left", "right") == b for a, b in zip(l, r))
+    # K selection: the two 15mm Driving windows carry the 450-focal K
+    Ks = np.stack([np.asarray(k) for k in ds.intrinsic_K])
+    n_15 = int((Ks[:, 0, 0] == SCENEFLOW_K_15MM[0, 0]).sum())
+    n_1050 = int((Ks[:, 0, 0] == SCENEFLOW_K[0, 0]).sum())
+    assert n_15 == 2 and n_1050 == len(ds) - 2
+    fifteens = [i for i in range(len(ds))
+                if "15mm_focallength" in ds.image_list[i][0][0]]
+    assert all(ds.intrinsic_K[i][0, 0] == 450.0 for i in fifteens)
+    assert len(fifteens) == 2
+
+    # things_test temporal: index by scene, whole sequences
+    dt = SceneFlowDatasets(None, root=fake_sceneflow, things_test=True,
+                           mode="temporal")
+    assert len(dt) == 2
+    i1, i2, disp, pose = dt.test_sequence(1)
+    assert len(i1) == len(i2) == len(disp) == len(pose) == 4
+
+
+def test_sceneflow_single_frame_index(fake_sceneflow):
+    """Non-temporal branch: flat pairs (TRAIN keeps all incl. the un-posed
+    frame; TEST filters by the fixed seed-1000 val subset, which keeps all
+    when the tree is smaller than 400)."""
+    from tcs_tpu.data.datasets import SceneFlowDatasets
+
+    ds = SceneFlowDatasets(None, root=fake_sceneflow, mode="single_frame")
+    assert len(ds) == (5 + 4) + 4 + (3 + 3)  # FT TRAIN + Monkaa + Driving
+    dt = SceneFlowDatasets(None, root=fake_sceneflow, things_test=True,
+                           mode="single_frame")
+    assert len(dt) == 3 + 4  # both TEST scenes, all in the val subset
+    s = dt.load_pair(0, np.random.default_rng(0))
+    assert s["image1"].shape == (64, 96, 3)
+    assert s["flow"].max() <= 0.0
+
+
+def test_sceneflow_temporal_load_sample(fake_sceneflow):
+    """Temporal load: (L,H,W,·) stacks, world->cam poses (inverted from the
+    cam->world camera_data rows), the 1050-focal K and baseline 1."""
+    from tcs_tpu.data.datasets import SceneFlowDatasets
+
+    ds = SceneFlowDatasets({"crop_size": (48, 64), "min_scale": -0.2,
+                            "max_scale": 0.2, "do_flip": False,
+                            "yjitter": False},
+                           root=fake_sceneflow, mode="temporal",
+                           frame_sample_length=2)
+    s = ds.load_sample(0, np.random.default_rng(0))
+    assert s["image1"].shape == (2, 48, 64, 3)
+    assert s["flow"].shape == (2, 48, 64, 1)
+    assert s["T"].shape == (2, 4, 4)
+    assert s["flow"].max() <= 0.0
+    assert float(s["baseline"]) == 1.0
+    # pose 1 is inv(cam->world with tx=0.1): world->cam tx = -0.1
+    np.testing.assert_allclose(s["T"][1][0, 3], -0.1, atol=1e-6)
+
+
+def test_validate_temporal_things_end_to_end(fake_sceneflow):
+    """validate_temporal_things smoke (reference evaluate_stereo.py:265-346):
+    streams both TEST scenes with temporal state carried frame-to-frame,
+    finite EPE/D1/D3 aggregated with valid-rate weighting."""
+    import jax
+    import jax.numpy as jnp
+
+    from tcs_tpu.config import ModelConfig
+    from tcs_tpu.evaluate import validate_temporal_things
+    from tcs_tpu.models import CameraParams, TCStereo, TemporalState
+
+    cfg = ModelConfig(mixed_precision=False, corr_dtype="float32")
+    model = TCStereo(cfg=cfg)
+    state0 = TemporalState.zeros(1, 64, 96, cfg)
+    cam = CameraParams(K=jnp.eye(3)[None], baseline=jnp.ones((1,)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)),
+                        jnp.zeros((1, 64, 96, 3)), state0, cam,
+                        jnp.eye(4)[None], iters=1, test_mode=True)
+
+    results = validate_temporal_things(model, params, cfg, iters=2,
+                                       root=fake_sceneflow)
+    assert set(results) == {"things-epe", "things-d1", "things-d3"}
+    assert np.isfinite(results["things-epe"])
+    assert 0.0 <= results["things-d1"] <= 100.0
+    assert 0.0 <= results["things-d3"] <= 100.0
+
+
+def test_kitti_raw_temporal_windows(tmp_path):
+    """KITTIraw temporal indexing (reference stereo_datasets.py:581-632):
+    len-L sliding windows per *_sync sequence, per-date P_rect_02 K,
+    OXTS-pose alignment, sparse LEAStereo pseudo-labels."""
+    from tcs_tpu.data.datasets import KITTIraw
+
+    g = np.random.default_rng(5)
+    date = tmp_path / "kitti_raw" / "2011_09_26"
+    seq = date / "2011_09_26_drive_0001_sync"
+    for d in ("image_02/data", "image_03/data", "leastereo/data"):
+        (seq / d).mkdir(parents=True)
+    poses = []
+    for i in range(5):
+        for d in ("image_02/data", "image_03/data"):
+            img = g.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)
+            Image.fromarray(img).save(seq / d / f"{i:010d}.png")
+        disp = np.zeros((96, 128), np.uint16)
+        yy = g.integers(1, 95, size=400)
+        xx = g.integers(1, 127, size=400)
+        disp[yy, xx] = (g.uniform(1, 40, size=400) * 256).astype(np.uint16)
+        Image.fromarray(disp).save(seq / "leastereo" / "data" / f"{i:010d}.png")
+        T = np.eye(4)
+        T[2, 3] = 0.5 * i  # cam->world forward motion
+        poses.append(" ".join(str(v) for v in T[:3].reshape(-1)))
+    (seq / "pose.txt").write_text("\n".join(poses) + "\n")
+    (date / "calib_cam_to_cam.txt").write_text(
+        "P_rect_02: 700 0 60 0 0 700 45 0 0 0 1 0\n")
+
+    ds = KITTIraw(None, root=str(tmp_path / "kitti_raw"), mode="temporal",
+                  frame_sample_length=4)
+    assert len(ds) == 2  # 5 frames, L=4 -> 2 windows
+    for i, k0 in enumerate((0, 1)):
+        l, r = ds.image_list[i]
+        assert [osp.basename(p) for p in l] == [
+            f"{j:010d}.png" for j in range(k0, k0 + 4)]
+        assert all("image_03" in p for p in r)
+        assert len(ds.pose_list[i]) == 4
+    np.testing.assert_allclose(ds.intrinsic_K[0][0, 0], 700.0)
+
+    s = ds.load_sample(1, np.random.default_rng(0))
+    assert s["image1"].shape == (4, 96, 128, 3)
+    assert s["flow"].shape == (4, 96, 128, 1)
+    assert s["T"].shape == (4, 4, 4)
+    assert set(np.unique(s["valid"])).issubset({0.0, 1.0})
+    assert 0.0 < s["valid"].mean() < 0.1  # lidar-sparse pseudo-labels
+    np.testing.assert_allclose(float(s["baseline"]), 0.54, rtol=1e-6)
+    # world->cam pose of window-1 frame 0: inv(tz=0.5) -> -0.5
+    np.testing.assert_allclose(s["T"][0][2, 3], -0.5, atol=1e-6)
