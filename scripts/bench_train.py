@@ -118,6 +118,12 @@ def main():
                         "(TrainConfig.frame_parallel_backward): Phase A "
                         "collects incoming states gradient-free, Phase B "
                         "differentiates all frames folded into the batch")
+    p.add_argument("--frame-inline", action=_ap.BooleanOptionalAction,
+                   default=None,
+                   help="per-frame value_and_grad inside the forward frame "
+                        "scan (TrainConfig.frame_inline_backward): no scan "
+                        "transpose, no remat replay; gradient accumulator "
+                        "in the carry")
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
     args = p.parse_args()
@@ -162,6 +168,8 @@ def main():
                          {"losses_outside_scan": args.losses_outside_scan}),
                       **({} if args.frame_parallel is None else
                          {"frame_parallel_backward": args.frame_parallel}),
+                      **({} if args.frame_inline is None else
+                         {"frame_inline_backward": args.frame_inline}),
                       **({} if args.split_transpose is None else
                          {"frame_scan_split_transpose": args.split_transpose}),
                       remat_frames=mode == "frame",

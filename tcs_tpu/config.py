@@ -246,6 +246,20 @@ class TrainConfig:
     # encoder stays hoisted/chunked); enable model.remat_iter_cell to bound
     # the iteration stack if HBM is tight.
     frame_parallel_backward: bool = False
+    # Per-frame gradients accumulated INSIDE the forward frame scan. The
+    # same frame-independence property as frame_parallel_backward, harvested
+    # sequentially: the scan body computes value_and_grad of its own frame's
+    # loss and carries a parameter-shaped gradient accumulator (~67 MB
+    # fp32), so the frame scan is never transposed by XLA — no backward
+    # while loop, no boundary carry copies, no saved-ys dynamic slicing —
+    # and, unlike the remat path, each frame's forward runs exactly ONCE
+    # (the primal that produces the carried temporal state IS the gradient
+    # pass's forward; there is no replay). Memory: one frame's full
+    # forward+backward residuals live at a time (no frame remat needed);
+    # combine with model.remat_iter_cell if HBM is tight. Numerically
+    # equal to the scan path up to fp reassociation (equivalence-tested).
+    # Mutually exclusive with frame_parallel_backward.
+    frame_inline_backward: bool = False
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"

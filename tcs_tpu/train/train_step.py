@@ -326,6 +326,181 @@ def _frame_parallel_loss(model: TCStereo, cfg: TrainConfig, params, frames,
     return loss, metrics
 
 
+def _encode_frames_chunked(cfg: TrainConfig, enc_params, batch: SequenceBatch,
+                           B, Tn):
+    """The hoisted image→feature stage: one chunked, checkpointed lax.scan
+    over the (B·T) frame batch, returning (T, B, ...) per-frame features.
+
+    Hoisting rationale (PERF.md round 3): inside the frame scan's while-loop
+    + remat body the encoder's full-resolution convs measure ~3× their
+    isolated cost and their weight gradients accumulate per frame; here the
+    trunk runs batched, and jax.checkpoint keeps only its (1/4-res and
+    coarser) outputs for the backward. Chunked because the full (B·T)-batch
+    replay transient (~4 GB of full-resolution trunk intermediates at the
+    TartanAir recipe) overflows HBM, and independent per-chunk checkpoint
+    calls OVERLAP their backward replays (measured 29.5 G peak); a dedicated
+    lax.scan over chunks serializes them."""
+    nc = min(cfg.encode_chunk_frames, Tn)
+    while Tn % nc:
+        nc -= 1
+    if nc != cfg.encode_chunk_frames:
+        # The chunk scan needs equal chunks; a non-dividing setting silently
+        # degrades the batching win (worst case 1 frame/chunk), so surface
+        # the effective size once per trace.
+        logging.getLogger(__name__).warning(
+            "encode_chunk_frames=%d does not divide frame_length=%d;"
+            " using effective chunk size %d",
+            cfg.encode_chunk_frames, Tn, nc)
+    n_chunks = Tn // nc
+
+    def to_chunks(x):
+        y = x.reshape(B, n_chunks, nc, *x.shape[2:])
+        y = jnp.moveaxis(y, 1, 0)  # (n_chunks, B, nc, ...)
+        return y.reshape(n_chunks, B * nc, *x.shape[2:])
+
+    def enc_body(carry, ims):
+        f = TCSFeatureEncoder(cfg.model).apply(enc_params, *ims)
+        return carry, f
+
+    enc_policy = None
+    if cfg.encode_save_names:
+        # Save named trunk activations ('enc_inner'/'enc_conv1'/…) so the
+        # encoder backward skips (part of) its forward replay — ~80 MB per
+        # saved full-resolution tensor per chunk at the TartanAir recipe.
+        enc_policy = jax.checkpoint_policies.save_only_these_names(
+            *cfg.encode_save_names)
+    enc_body = jax.checkpoint(enc_body, prevent_cse=False, policy=enc_policy)
+    _, feats_c = jax.lax.scan(
+        enc_body, (), (to_chunks(batch.image1), to_chunks(batch.image2)))
+
+    def to_frames(x):
+        y = x.reshape(n_chunks, B, nc, *x.shape[2:])
+        y = jnp.moveaxis(y, 2, 1)  # (n_chunks, nc, B, ...)
+        return y.reshape(Tn, B, *x.shape[2:])
+
+    return jax.tree_util.tree_map(to_frames, feats_c)
+
+
+def _enc_param_subtree(params):
+    return {
+        "params": {
+            k: v for k, v in params["params"].items()
+            if k in ("cnet", "conv2", "fnet")
+        }
+    }
+
+
+def _frame_inline_loss_and_grads(model: TCStereo, cfg: TrainConfig, params,
+                                 batch: SequenceBatch):
+    """Per-frame gradients accumulated INSIDE the forward frame scan
+    (``TrainConfig.frame_inline_backward``).
+
+    The temporal carries are stop-gradient on both sides (reference detaches
+    them, tc_stereo.py:221-242), so ∂total/∂θ = Σ_t ∂loss_t/∂θ with each
+    term independent of the others given frame t's incoming state. Instead
+    of differentiating THROUGH the frame scan (XLA's scan transpose: a
+    backward while loop with boundary carry copies, saved-ys dynamic
+    slicing, and a full remat replay of each frame's forward — the ~66 ms of
+    formatting plus ~330 ms of recompute PERF.md attributes to the
+    scan-of-remat machinery), the scan body itself computes
+    ``value_and_grad`` of frame t's loss: the primal forward that produces
+    the carried state doubles as the gradient pass's forward, so each
+    frame's forward runs ONCE (no replay), and the scan is never transposed
+    (its carry — the temporal state plus a parameter-shaped gradient
+    accumulator, ~67 MB fp32 — is forward-only).
+
+    The hoisted encoder keeps its own chunked-checkpoint structure via an
+    explicit ``jax.vjp``: the frame bodies emit per-frame feature cotangents
+    as scan outputs, and the encoder pullback contracts them after the scan
+    (equivalent to what the outer differentiation did implicitly).
+
+    Numerics: identical to the scan path up to fp reassociation — per-frame
+    loss tails run at (it·B) batch instead of the hoisted (T·it·B) fold, and
+    weight gradients are accumulated frame-by-frame exactly as the scan
+    transpose accumulates them (equivalence-tested in tests/test_train.py).
+    """
+    B, Tn, H, W, _ = batch.image1.shape
+    cam = CameraParams(K=batch.K, baseline=batch.baseline)
+    init_state = TemporalState.zeros(B, H, W, cfg.model)
+
+    feats_t = None
+    enc_vjp = None
+    if cfg.encode_outside_scan:
+        enc_params = _enc_param_subtree(params)
+        # Explicit vjp so the frame bodies can treat the features as plain
+        # scan inputs; their gradient path to the encoder goes through the
+        # cotangent ys contracted by the pullback after the scan.
+        feats_t, enc_vjp = jax.vjp(
+            lambda ep: _encode_frames_chunked(cfg, ep, batch, B, Tn),
+            enc_params)
+
+    frames = jax.tree_util.tree_map(
+        lambda x: jnp.swapaxes(x, 0, 1),
+        FrameBatch(batch.image1, batch.image2, batch.flow, batch.valid,
+                   batch.T),
+    )
+
+    tail_policy = jax.checkpoint_policies.save_only_these_names("loss_gt")
+
+    def frame_loss(p, feat, frame, state):
+        out = model.apply(
+            p, frame.image1, frame.image2, state, cam, frame.T,
+            iters=cfg.train_iters, test_mode=False, features=feat,
+            raw_outputs=True,
+        )
+        raw1 = jax.tree_util.tree_map(lambda x: x[None], out.raw)
+        cv1 = out.cost_volume[None]
+        fr1 = jax.tree_util.tree_map(lambda x: x[None], frame)
+
+        # Same per-frame loss-tail remat as the other paths: the
+        # convex-upsample backward's (it·B, h, 4, w, 4, ·) fp32 product
+        # temps (~0.9 GB/frame) are replayed, GT-side tensors stay saved.
+        def tail(pp, rr, cc):
+            return _hoisted_losses_tail(cfg, pp, rr, cc, fr1, B, 1, H, W)
+
+        fl, mets = jax.checkpoint(tail, prevent_cse=False,
+                                  policy=tail_policy)(p, raw1, cv1)
+        mets = jax.tree_util.tree_map(lambda m: m[0], mets)
+        return fl[0], (out.new_state, mets)
+
+    with_feats = feats_t is not None
+    grad_fn = jax.value_and_grad(
+        frame_loss, argnums=(0, 1) if with_feats else (0,), has_aux=True)
+
+    def body(carry, xs):
+        state, gacc = carry
+        frame, feat = xs
+        (fl, (new_state, mets)), grads = grad_fn(params, feat, frame, state)
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, grads[0])
+        ys = (fl, mets, grads[1]) if with_feats else (fl, mets)
+        return (new_state, gacc), ys
+
+    gacc0 = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.result_type(p, jnp.float32)), params)
+    (_, gacc), ys = jax.lax.scan(
+        body, (init_state, gacc0), (frames, feats_t),
+        unroll=min(cfg.frame_unroll, cfg.frame_length))
+
+    if with_feats:
+        frame_loss_v, metrics, feat_cts = ys
+    else:
+        frame_loss_v, metrics = ys
+
+    loss = jnp.mean(frame_loss_v)  # Σ/frame_length
+    metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+    inv_t = 1.0 / Tn
+    grads = jax.tree_util.tree_map(lambda g: g * inv_t, gacc)
+
+    if with_feats:
+        (enc_grads,) = enc_vjp(
+            jax.tree_util.tree_map(lambda g: g * inv_t, feat_cts))
+        merged = dict(grads["params"])
+        for k, v in enc_grads["params"].items():
+            merged[k] = jax.tree_util.tree_map(jnp.add, merged[k], v)
+        grads = {**grads, "params": merged}
+    return loss, metrics, grads
+
+
 def make_train_step(model: TCStereo, cfg: TrainConfig,
                     donate: bool = True) -> Callable:
     """Build the jitted train step: (TrainState, SequenceBatch) → (TrainState,
@@ -339,70 +514,8 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
 
         feats_t = None
         if cfg.encode_outside_scan:
-            # Hoist the image→feature stage out of the frame scan: it depends
-            # only on the images, and inside the scan's while-loop + remat
-            # body its full-resolution convs measure ~3× their isolated cost
-            # and their weight gradients accumulate per frame (PERF.md). Here
-            # it runs ONCE over the (B·T) frame batch; jax.checkpoint keeps
-            # only its (1/4-res and coarser) outputs for the backward, which
-            # replays the batched trunk once instead of T times.
-            enc_params = {
-                "params": {
-                    k: v for k, v in params["params"].items()
-                    if k in ("cnet", "conv2", "fnet")
-                }
-            }
-
-            # Chunked over frames: the full (B·T)-batch replay transient
-            # (~4 GB of full-resolution trunk intermediates at the TartanAir
-            # recipe) overflows HBM, and independent per-chunk checkpoint
-            # calls OVERLAP their backward replays (measured 29.5 G peak —
-            # XLA schedules dataflow-independent replays concurrently). A
-            # dedicated lax.scan over chunks serializes them: peak transient
-            # is ONE chunk's trunk, forward and backward.
-            nc = min(cfg.encode_chunk_frames, Tn)
-            while Tn % nc:
-                nc -= 1
-            if nc != cfg.encode_chunk_frames:
-                # The chunk scan needs equal chunks; a non-dividing setting
-                # silently degrades the batching win (worst case 1
-                # frame/chunk), so surface the effective size once per trace.
-                logging.getLogger(__name__).warning(
-                    "encode_chunk_frames=%d does not divide frame_length=%d;"
-                    " using effective chunk size %d",
-                    cfg.encode_chunk_frames, Tn, nc)
-            n_chunks = Tn // nc
-
-            def to_chunks(x):
-                y = x.reshape(B, n_chunks, nc, *x.shape[2:])
-                y = jnp.moveaxis(y, 1, 0)  # (n_chunks, B, nc, ...)
-                return y.reshape(n_chunks, B * nc, *x.shape[2:])
-
-            def enc_body(carry, ims):
-                f = TCSFeatureEncoder(cfg.model).apply(enc_params, *ims)
-                return carry, f
-
-            enc_policy = None
-            if cfg.encode_save_names:
-                # Save named trunk activations ('enc_inner'/'enc_conv1'/…)
-                # so the encoder backward skips (part of) its forward replay
-                # — ~80 MB per saved full-resolution tensor per chunk at the
-                # TartanAir recipe.
-                enc_policy = jax.checkpoint_policies.save_only_these_names(
-                    *cfg.encode_save_names)
-            enc_body = jax.checkpoint(enc_body, prevent_cse=False,
-                                      policy=enc_policy)
-            _, feats_c = jax.lax.scan(
-                enc_body, (),
-                (to_chunks(batch.image1), to_chunks(batch.image2)))
-
-            def to_frames(x):
-                y = x.reshape(n_chunks, B, nc, *x.shape[2:])
-                y = jnp.moveaxis(y, 2, 1)  # (n_chunks, nc, B, ...)
-                return y.reshape(Tn, B, *x.shape[2:])
-
-            # (T, B, ...) scan inputs.
-            feats_t = jax.tree_util.tree_map(to_frames, feats_c)
+            feats_t = _encode_frames_chunked(
+                cfg, _enc_param_subtree(params), batch, B, Tn)
 
         hoist_losses = cfg.losses_outside_scan
 
@@ -469,9 +582,17 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
         return loss, metrics
 
     def train_step(state: TrainState, batch: SequenceBatch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
+        if cfg.frame_inline_backward:
+            if cfg.frame_parallel_backward:
+                raise ValueError(
+                    "frame_inline_backward and frame_parallel_backward are "
+                    "mutually exclusive formulations of the same "
+                    "frame-independence property; enable at most one")
+            loss, metrics, grads = _frame_inline_loss_and_grads(
+                model, cfg, state.params, batch)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch)
         new_state = state.apply_gradients(grads=grads)
         metrics = dict(metrics)
         metrics["live_loss"] = loss

@@ -690,6 +690,55 @@ def test_frame_parallel_backward_matches_scan_path(train_setup):
         assert worst < 5e-4, worst
 
 
+def test_frame_inline_backward_matches_scan_path(train_setup):
+    """TrainConfig.frame_inline_backward: per-frame value_and_grad inside
+    the forward frame scan (gradient accumulator in the carry, encoder
+    cotangents via explicit vjp) must match the default differentiated
+    frame scan — the temporal carries are stop-gradient on both sides, so
+    the formulations compute the same losses and gradients up to fp
+    reassociation. Covered with the hoisted encoder (vjp composition path)
+    AND with encode_outside_scan=False (encoder differentiated inside each
+    frame body)."""
+    import dataclasses
+
+    cfg, model, ts, batch = train_setup
+    step_ref = make_train_step(model, cfg, donate=False)
+    ts_ref, m_ref = step_ref(ts, batch)
+
+    variants = [
+        dataclasses.replace(cfg, frame_inline_backward=True),
+        dataclasses.replace(cfg, frame_inline_backward=True,
+                            encode_outside_scan=False),
+        # in-scan losses in the reference formulation still route through
+        # the inline path (it always evaluates its own per-frame tail)
+        dataclasses.replace(cfg, frame_inline_backward=True,
+                            losses_outside_scan=False),
+    ]
+    for cfg_il in variants:
+        step_il = make_train_step(model, cfg_il, donate=False)
+        ts_il, m_il = step_il(ts, batch)
+
+        for k in sorted(m_ref):
+            np.testing.assert_allclose(float(m_il[k]), float(m_ref[k]),
+                                       rtol=5e-3, atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(float(m_il["live_loss"]),
+                                   float(m_ref["live_loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_il["grad_norm"]),
+                                   float(m_ref["grad_norm"]), rtol=1e-3)
+        d_ref = jax.tree_util.tree_leaves(ts_ref.params)
+        d_il = jax.tree_util.tree_leaves(ts_il.params)
+        worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                    for a, b in zip(d_ref, d_il))
+        assert worst < 5e-4, worst
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        step_bad = make_train_step(
+            model, dataclasses.replace(cfg, frame_inline_backward=True,
+                                       frame_parallel_backward=True),
+            donate=False)
+        step_bad(ts, batch)
+
+
 def test_batchnorm_is_sync_bn_under_mesh():
     """The reference needs --sync_bn because DDP's BatchNorm computes
     per-process statistics (train_stereo.py:283-284). Under pjit on the DP
