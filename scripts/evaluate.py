@@ -15,7 +15,7 @@ import sys
 sys.path.insert(0, ".")
 
 
-def main():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True,
                    choices=["kitti", "things", "TartanAir"])
@@ -48,7 +48,31 @@ def main():
                    action="store_true", default=None)
     p.add_argument("--no_mixed_precision", dest="mixed_precision",
                    action="store_false")
-    args = p.parse_args()
+    return p.parse_args(argv)
+
+
+def build_model_config(args):
+    """Map the architecture flag group onto ModelConfig (mirrors the train
+    CLI's mapping exactly, as the reference duplicates its arch args between
+    train_stereo.py and evaluate_stereo.py). Pure; tested in
+    tests/test_cli.py."""
+    from tcs_tpu.config import ModelConfig
+
+    overrides = {}
+    for key in ("corr_levels", "corr_radius", "n_downsample", "n_gru_layers",
+                "context_norm", "shared_backbone", "slow_fast_gru",
+                "mixed_precision"):
+        v = getattr(args, key)
+        if v is not None:
+            overrides[key] = v
+    if args.hidden_dims is not None:
+        overrides["hidden_dims"] = tuple(args.hidden_dims)
+        overrides["context_dims"] = tuple(args.hidden_dims)
+    return ModelConfig(**overrides)
+
+
+def main():
+    args = parse_args()
 
     if args.restore_ckpt:
         import os
@@ -62,23 +86,10 @@ def main():
     import jax.numpy as jnp
 
     from tcs_tpu import evaluate as ev
-    from tcs_tpu.config import ModelConfig
     from tcs_tpu.models import CameraParams, TCStereo, TemporalState
     from tcs_tpu.utils.checkpoint import CheckpointManager, load_params
 
-    import dataclasses
-
-    overrides = {}
-    for key in ("corr_levels", "corr_radius", "n_downsample", "n_gru_layers",
-                "context_norm", "shared_backbone", "slow_fast_gru",
-                "mixed_precision"):
-        v = getattr(args, key)
-        if v is not None:
-            overrides[key] = v
-    if args.hidden_dims is not None:
-        overrides["hidden_dims"] = tuple(args.hidden_dims)
-        overrides["context_dims"] = tuple(args.hidden_dims)
-    cfg = ModelConfig(**overrides)
+    cfg = build_model_config(args)
     model = TCStereo(cfg=cfg)
 
     # Build a parameter skeleton, then restore.

@@ -31,7 +31,7 @@ import sys
 sys.path.insert(0, ".")
 
 
-def main():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--recipe", required=True,
                    choices=["sceneflow", "TartanAir", "kitti_raw"])
@@ -109,6 +109,11 @@ def main():
                    help="two-phase big-batch BPTT backward (equivalence-"
                         "tested; wins on >=32G-HBM chips, loses ~10%% on "
                         "16G v5e — see PERF.md round 4)")
+    p.add_argument("--frame_inline_backward", action="store_true",
+                   default=None,
+                   help="per-frame gradients accumulated inside the forward "
+                        "frame scan (equivalence-tested; no scan transpose, "
+                        "no remat replay — see PERF.md round 5)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--validate", action="store_true",
                    help="run the recipe's validation every 10k steps")
@@ -116,18 +121,14 @@ def main():
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
-    args = p.parse_args()
+    return p.parse_args(argv)
 
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(levelname)-8s [%(filename)s:%(lineno)d] %(message)s",
-    )
 
+def build_config(args):
+    """Map parsed CLI flags onto the recipe's TrainConfig (the 33-flag parity
+    table in the module docstring). Pure — no jax import, no side effects —
+    so tests can assert every flag lands (tests/test_cli.py)."""
     from tcs_tpu.config import RECIPES
-    from tcs_tpu.parallel.mesh import initialize_distributed
-
-    initialize_distributed(args.coordinator, args.num_processes,
-                           args.process_id)
 
     cfg = RECIPES[args.recipe]()
     overrides = {}
@@ -135,7 +136,7 @@ def main():
                 "batch_size", "lr", "num_workers", "yjitter",
                 "train_dataset", "frame_length", "do_flip", "name",
                 "train_iters", "valid_iters", "wdecay", "init_k",
-                "frame_parallel_backward"):
+                "frame_parallel_backward", "frame_inline_backward"):
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
@@ -162,7 +163,23 @@ def main():
     if args.single_frame:
         overrides["temporal"] = False
         overrides["frame_length"] = 1
-    cfg = dataclasses.replace(cfg, **overrides)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def main():
+    args = parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)-8s [%(filename)s:%(lineno)d] %(message)s",
+    )
+
+    from tcs_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
+
+    cfg = build_config(args)
 
     from tcs_tpu.train.trainer import Trainer
 
