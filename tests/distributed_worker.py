@@ -85,8 +85,13 @@ def _train_mode(out_path, shared_dir):
 def main():
     coord, nproc, pid, out_path = sys.argv[1:5]
     mode = sys.argv[5] if len(sys.argv) > 5 else "step"
+    # TCS_LOCAL_DEVICES > 1 reproduces the real TPU-host topology (several
+    # local devices per process) so global_batch_from_local / make_batch run
+    # with multi-device local shards across a process boundary.
+    ndev_local = int(os.environ.get("TCS_LOCAL_DEVICES", "1"))
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={ndev_local}")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcs_tpu_jax_cache")
 
     import jax
@@ -100,8 +105,8 @@ def main():
 
     initialize_distributed(coord, int(nproc), int(pid))
     assert jax.process_count() == int(nproc), jax.process_count()
-    assert len(jax.local_devices()) == 1
-    assert len(jax.devices()) == int(nproc)
+    assert len(jax.local_devices()) == ndev_local
+    assert len(jax.devices()) == int(nproc) * ndev_local
 
     if mode == "train":
         _train_mode(out_path, sys.argv[6])
@@ -124,19 +129,23 @@ def main():
 
     ds = SyntheticStereoSequence(n_samples=8, frame_length=1, height=32,
                                  width=64)
-    loader = SequenceLoader(ds, batch_size=1, seed=0,
-                            shard_id=jax.process_index(),
+    # per-process rows = per-shard batch x local devices (the loader shape
+    # Trainer.train uses)
+    loader = SequenceLoader(ds, batch_size=cfg.batch_size * ndev_local,
+                            seed=0, shard_id=jax.process_index(),
                             num_shards=jax.process_count(), num_workers=1)
     ts = trainer.init_state()
     step = make_train_step(trainer.model, cfg, donate=False)
     np_batch = next(iter(loader))
     batch = trainer.make_batch(np_batch)  # global_batch_from_local branch
-    assert batch.image1.shape[0] == int(nproc)  # global batch across procs
+    # global batch spans processes x local devices
+    assert batch.image1.shape[0] == int(nproc) * ndev_local * cfg.batch_size
     ts, metrics = step(ts, batch)
 
     key = process_rng_key(jax.random.PRNGKey(0))
     result = {
         "process": int(pid),
+        "global_rows": int(batch.image1.shape[0]),
         "loss": float(np.asarray(metrics["live_loss"])),
         "epe": float(np.asarray(metrics["epe"])),
         "rng": np.asarray(jax.random.key_data(key)).tolist(),

@@ -94,6 +94,87 @@ def test_two_process_loss_agrees_and_matches_single_process(worker_results):
 
 
 @pytest.fixture(scope="module")
+def worker_results_2x4(tmp_path_factory):
+    """2 processes x 4 local devices each — the real TPU-host topology
+    (several chips per host process), vs the 1-device-per-process fixture
+    above. Exercises make_batch/global_batch_from_local with multi-device
+    LOCAL shards across a process boundary."""
+    out_dir = tmp_path_factory.mktemp("dist2x4")
+    port = _free_port()
+    coord = f"localhost:{port}"
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["TCS_LOCAL_DEVICES"] = "4"
+    for pid in range(2):
+        out = str(out_dir / f"result_{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests/distributed_worker.py"),
+             coord, "2", str(pid), out],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_two_process_four_device_matches_single_process(worker_results_2x4):
+    """DDP shape parity beyond one-device-per-process (reference: one
+    process per GPU, train_stereo.py:275-292; a TPU host runs one process
+    for SEVERAL local chips): the 2x4 global batch of 8 rows must produce
+    the same all-reduced loss on both processes AND match a single-process
+    8-device run of the same rows."""
+    r0, r1 = worker_results_2x4
+    assert r0["global_rows"] == r1["global_rows"] == 8
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+    assert np.isfinite(r0["loss"])
+    assert r0["rng"] != r1["rng"]  # per-process fold unaffected by topology
+
+    import jax
+
+    from tcs_tpu.config import ModelConfig, TrainConfig
+    from tcs_tpu.data.loader import SequenceLoader
+    from tcs_tpu.data.synthetic import SyntheticStereoSequence
+    from tcs_tpu.train import make_train_step
+    from tcs_tpu.train.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(
+        batch_size=1, image_size=(32, 64), frame_length=1, train_iters=1,
+        num_steps=4, lr=1e-4, num_workers=1,
+        checkpoint_dir="/tmp/tcs_dist_ckpt_single8",
+        model=ModelConfig(mixed_precision=False),
+    )
+    trainer = Trainer(cfg, devices=jax.devices()[:8])
+    ds = SyntheticStereoSequence(n_samples=8, frame_length=1, height=32,
+                                 width=64)
+    # The 2-shard strided split hands process p rows perm[p::2]; a single
+    # loader over the full batch yields the same 8-row set (order differs,
+    # which only permutes the all-reduce summands).
+    loader = SequenceLoader(ds, batch_size=8, seed=0, num_workers=1)
+    ts = trainer.init_state()
+    step = make_train_step(trainer.model, cfg, donate=False)
+    batch = trainer.make_batch(next(iter(loader)))
+    assert batch.image1.shape[0] == 8
+    ts, metrics = step(ts, batch)
+    loss_single = float(np.asarray(metrics["live_loss"]))
+    assert r0["loss"] == pytest.approx(loss_single, rel=2e-4), (
+        r0["loss"], loss_single)
+
+
+@pytest.fixture(scope="module")
 def train_worker_results(tmp_path_factory):
     """Run the FULL Trainer.train() driver under 2 jax.distributed
     processes: loader sharding, collective Orbax checkpointing mid-run, and
