@@ -258,8 +258,11 @@ class TrainConfig:
     # forward+backward residuals live at a time (no frame remat needed);
     # combine with model.remat_iter_cell if HBM is tight. Numerically
     # equal to the scan path up to fp reassociation (equivalence-tested).
-    # Mutually exclusive with frame_parallel_backward.
-    frame_inline_backward: bool = False
+    # DEFAULT since round 5 — measured on v5e-16G at the exact recipe crops:
+    # TartanAir 1566.3 → 1371.4, SceneFlow 573.7 → 522.0, KITTI_raw 1757.1
+    # → 1522.9 ms/step (PERF.md round 5). An explicitly-set
+    # frame_parallel_backward takes precedence over this default.
+    frame_inline_backward: bool = True
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"

@@ -581,13 +581,18 @@ def make_train_step(model: TCStereo, cfg: TrainConfig,
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         return loss, metrics
 
+    # Static path selection: frame_parallel_backward is default-off, so
+    # setting it is an explicit opt-in that overrides the default-on inline
+    # formulation (both harvest the same frame-independence property).
+    use_inline = cfg.frame_inline_backward and not cfg.frame_parallel_backward
+    if cfg.frame_inline_backward and cfg.frame_parallel_backward:
+        logging.getLogger(__name__).warning(
+            "frame_parallel_backward and frame_inline_backward are both set;"
+            " using frame_parallel_backward (explicit opt-in over the"
+            " default-on inline formulation)")
+
     def train_step(state: TrainState, batch: SequenceBatch):
-        if cfg.frame_inline_backward:
-            if cfg.frame_parallel_backward:
-                raise ValueError(
-                    "frame_inline_backward and frame_parallel_backward are "
-                    "mutually exclusive formulations of the same "
-                    "frame-independence property; enable at most one")
+        if use_inline:
             loss, metrics, grads = _frame_inline_loss_and_grads(
                 model, cfg, state.params, batch)
         else:

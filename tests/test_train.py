@@ -182,6 +182,9 @@ def test_selective_remat_matches_frame_remat(train_setup):
     import dataclasses
 
     cfg, model, ts, batch = train_setup
+    # pin the differentiated-scan formulation: remat choices only exist
+    # there (the default-on inline backward never transposes the scan)
+    cfg = dataclasses.replace(cfg, frame_inline_backward=False)
     step = make_train_step(model, cfg, donate=False)
     _, m_ref = step(ts, batch)
 
@@ -555,6 +558,7 @@ def test_encode_outside_scan_matches_baseline(train_setup):
     import dataclasses
 
     cfg, model, ts, batch = train_setup
+    cfg = dataclasses.replace(cfg, frame_inline_backward=False)
     cfg_legacy = dataclasses.replace(cfg, encode_outside_scan=False,
                                      losses_outside_scan=False)
     step = make_train_step(model, cfg_legacy, donate=False)
@@ -578,6 +582,7 @@ def test_losses_outside_scan_matches_baseline(train_setup):
     import dataclasses
 
     cfg, model, ts, batch = train_setup
+    cfg = dataclasses.replace(cfg, frame_inline_backward=False)
     cfg_legacy = dataclasses.replace(cfg, encode_outside_scan=False,
                                      losses_outside_scan=False)
     step = make_train_step(model, cfg_legacy, donate=False)
@@ -657,6 +662,7 @@ def test_frame_parallel_backward_matches_scan_path(train_setup):
     import dataclasses
 
     cfg, model, ts, batch = train_setup
+    cfg = dataclasses.replace(cfg, frame_inline_backward=False)
     step_ref = make_train_step(model, cfg, donate=False)
     ts_ref, m_ref = step_ref(ts, batch)
 
@@ -702,7 +708,9 @@ def test_frame_inline_backward_matches_scan_path(train_setup):
     import dataclasses
 
     cfg, model, ts, batch = train_setup
-    step_ref = make_train_step(model, cfg, donate=False)
+    step_ref = make_train_step(
+        model, dataclasses.replace(cfg, frame_inline_backward=False),
+        donate=False)
     ts_ref, m_ref = step_ref(ts, batch)
 
     variants = [
@@ -731,12 +739,28 @@ def test_frame_inline_backward_matches_scan_path(train_setup):
                     for a, b in zip(d_ref, d_il))
         assert worst < 5e-4, worst
 
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        step_bad = make_train_step(
+    # Both set: the explicit frame_parallel opt-in wins over the default-on
+    # inline formulation, with a build-time warning (static path selection).
+    import logging as _logging
+
+    records = []
+
+    class _Cap(_logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = _logging.getLogger("tcs_tpu.train.train_step")
+    h = _Cap()
+    lg.addHandler(h)
+    try:
+        make_train_step(
             model, dataclasses.replace(cfg, frame_inline_backward=True,
                                        frame_parallel_backward=True),
             donate=False)
-        step_bad(ts, batch)
+    finally:
+        lg.removeHandler(h)
+    assert any("frame_parallel_backward" in m and "precedence" not in m
+               or "explicit opt-in" in m for m in records), records
 
 
 def test_batchnorm_is_sync_bn_under_mesh():
