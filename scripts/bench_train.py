@@ -124,6 +124,10 @@ def main():
                         "scan (TrainConfig.frame_inline_backward): no scan "
                         "transpose, no remat replay; gradient accumulator "
                         "in the carry")
+    p.add_argument("--inline-tail-remat", action=_ap.BooleanOptionalAction,
+                   default=None,
+                   help="remat the per-frame loss tail inside the inline "
+                        "backward (TrainConfig.inline_tail_remat)")
     p.add_argument("--profile", action="store_true",
                    help="validate wall-clock against a jax.profiler trace")
     args = p.parse_args()
@@ -170,6 +174,8 @@ def main():
                          {"frame_parallel_backward": args.frame_parallel}),
                       **({} if args.frame_inline is None else
                          {"frame_inline_backward": args.frame_inline}),
+                      **({} if args.inline_tail_remat is None else
+                         {"inline_tail_remat": args.inline_tail_remat}),
                       **({} if args.split_transpose is None else
                          {"frame_scan_split_transpose": args.split_transpose}),
                       remat_frames=mode == "frame",

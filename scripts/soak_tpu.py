@@ -36,6 +36,10 @@ PREEMPT_AFTER_S = 60.0
 
 
 def child(args):
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+
     from tcs_tpu.config import ModelConfig, TrainConfig
     from tcs_tpu.data.synthetic import SyntheticStereoSequence
     from tcs_tpu.train.trainer import Trainer
@@ -51,9 +55,12 @@ def child(args):
     ds = SyntheticStereoSequence(n_samples=64, frame_length=2, height=256,
                                  width=320, layered_frac=0.5)
     t = Trainer(cfg)
-    # denser jsonl trajectory than the production sum_freq=100
+    # deterministic resume marker (independent of logging config)
+    print(f"SOAK_RESUMED_AT step={t.ckpt.latest_step()}", flush=True)
+    # denser jsonl trajectory than the production sum_freq=100;
+    # frame_length=1 so the jsonl 'step' field counts optimizer steps
     t.logger = MetricsLogger(
-        sum_freq=10, frame_length=cfg.frame_length,
+        sum_freq=20, frame_length=1,
         jsonl_path=osp.join(args.workdir, "soak_metrics.jsonl"))
     ts = t.train(dataset=ds)
     print(f"SOAK_CHILD_DONE step={int(ts.step)}", flush=True)
@@ -69,6 +76,12 @@ def main():
         child(args)
         return
 
+    # fresh workdir: a stale step-400 checkpoint would make phase 1 resume
+    # at the target step and exit immediately
+    import shutil
+
+    if osp.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
     os.makedirs(args.workdir, exist_ok=True)
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcs_tpu_jax_cache")
@@ -109,15 +122,24 @@ def main():
                         stderr=subprocess.STDOUT, text=True, timeout=3600)
     assert p2.returncode == 0, f"phase-2 failed:\n{p2.stdout[-4000:]}"
     out2 = p2.stdout
-    assert "Resumed full training state at step" in out2, out2[-4000:]
     assert f"SOAK_CHILD_DONE step={STEPS}" in out2, out2[-2000:]
     resume_line = [l for l in out2.splitlines()
-                   if "Resumed full training state" in l][0]
+                   if l.startswith("SOAK_RESUMED_AT")][0]
+    resumed_at = int(resume_line.split("=")[1])
+    assert 0 < resumed_at < STEPS, resume_line  # resumed mid-run, not fresh
     print("phase 2 resumed + finished:", resume_line.strip())
 
     rows = [json.loads(l) for l in open(jsonl)]
-    losses = [(r["step"], r.get("live_loss")) for r in rows
-              if "live_loss" in r]
+    # phase 2's MetricsLogger restarts its push counter at the resumed
+    # step: re-offset the step fields into one global axis
+    losses, offset, prev = [], 0, -1
+    for r in rows:
+        if "live_loss" not in r:
+            continue
+        if r["step"] <= prev - offset:
+            offset = resumed_at
+        prev = offset + r["step"]
+        losses.append((prev, r["live_loss"]))
     first, last = losses[0], losses[-1]
     drop = first[1] / max(last[1], 1e-9)
     dur2 = time.time() - t1
@@ -135,8 +157,8 @@ def main():
         f"- **preemption event**: `{preempt_line.strip()}` — SIGTERM"
         " mid-run, trainer checkpointed collectively and exited 0",
         f"- **resume event**: `{resume_line.strip()}` — a FRESH process +"
-        f" Trainer picked up the full state and ran to step {STEPS}"
-        f" (phase-2 wall {dur2:.0f}s incl. compile)",
+        f" Trainer picked up the full Orbax state at step {resumed_at} and"
+        f" ran to step {STEPS} (phase-2 wall {dur2:.0f}s incl. compile)",
         "",
         "## Loss trajectory (jsonl flushes, mean of 20-step windows)",
         "",

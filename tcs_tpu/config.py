@@ -263,6 +263,13 @@ class TrainConfig:
     # → 1522.9 ms/step (PERF.md round 5). An explicitly-set
     # frame_parallel_backward takes precedence over this default.
     frame_inline_backward: bool = True
+    # Remat the per-frame loss tail (mask head + convex upsample + losses)
+    # inside the inline backward: the convex-upsample backward materialises
+    # (it·B, h, 4, w, 4, ·) fp32 product temps (~0.9 GB/frame); the remat
+    # replays the cheap elementwise tail instead of keeping them live
+    # (GT-side tensors stay saved via the 'loss_gt' tags). Off trades that
+    # memory for skipping the replay — measured effect in PERF.md round 5.
+    inline_tail_remat: bool = True
     # Checkpointing / validation cadence
     validation_frequency: int = 10_000
     checkpoint_dir: str = "checkpoints"

@@ -458,8 +458,10 @@ def _frame_inline_loss_and_grads(model: TCStereo, cfg: TrainConfig, params,
         def tail(pp, rr, cc):
             return _hoisted_losses_tail(cfg, pp, rr, cc, fr1, B, 1, H, W)
 
-        fl, mets = jax.checkpoint(tail, prevent_cse=False,
-                                  policy=tail_policy)(p, raw1, cv1)
+        if cfg.inline_tail_remat:
+            tail = jax.checkpoint(tail, prevent_cse=False,
+                                  policy=tail_policy)
+        fl, mets = tail(p, raw1, cv1)
         mets = jax.tree_util.tree_map(lambda m: m[0], mets)
         return fl[0], (out.new_state, mets)
 
