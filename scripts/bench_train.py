@@ -124,6 +124,11 @@ def main():
                         "scan (TrainConfig.frame_inline_backward): no scan "
                         "transpose, no remat replay; gradient accumulator "
                         "in the carry")
+    p.add_argument("--encode-remat", action=_ap.BooleanOptionalAction,
+                   default=None,
+                   help="checkpoint the hoisted encoder chunk scan "
+                        "(TrainConfig.encode_remat); --no-encode-remat "
+                        "saves the trunk replay at ~2 GB/chunk residency")
     p.add_argument("--inline-tail-remat", action=_ap.BooleanOptionalAction,
                    default=None,
                    help="remat the per-frame loss tail inside the inline "
@@ -176,6 +181,8 @@ def main():
                          {"frame_inline_backward": args.frame_inline}),
                       **({} if args.inline_tail_remat is None else
                          {"inline_tail_remat": args.inline_tail_remat}),
+                      **({} if args.encode_remat is None else
+                         {"encode_remat": args.encode_remat}),
                       **({} if args.split_transpose is None else
                          {"frame_scan_split_transpose": args.split_transpose}),
                       remat_frames=mode == "frame",

@@ -212,6 +212,12 @@ class TrainConfig:
     # 'enc_inner', 'enc_layer1'..'enc_layer3'. Empty = plain checkpoint
     # (save only chunk outputs, replay the trunk once per chunk).
     encode_save_names: Tuple[str, ...] = ()
+    # Checkpoint the hoisted encoder's chunk scan (backward replays the
+    # trunk once per chunk instead of saving its intermediates). Off saves
+    # the replay (~97 ms/step at the TartanAir recipe) at the cost of every
+    # chunk's full-resolution trunk residuals staying live until the
+    # post-scan pullback — measured effect in PERF.md round 5.
+    encode_remat: bool = True
     # Hoist the convex-upsample mask head, full-resolution upsampling and the
     # four losses OUT of the frame scan: the scan emits q-resolution
     # per-iteration tensors only, and the head/upsample/losses run once,

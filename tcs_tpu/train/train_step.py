@@ -369,7 +369,9 @@ def _encode_frames_chunked(cfg: TrainConfig, enc_params, batch: SequenceBatch,
         # saved full-resolution tensor per chunk at the TartanAir recipe.
         enc_policy = jax.checkpoint_policies.save_only_these_names(
             *cfg.encode_save_names)
-    enc_body = jax.checkpoint(enc_body, prevent_cse=False, policy=enc_policy)
+    if cfg.encode_remat:
+        enc_body = jax.checkpoint(enc_body, prevent_cse=False,
+                                  policy=enc_policy)
     _, feats_c = jax.lax.scan(
         enc_body, (), (to_chunks(batch.image1), to_chunks(batch.image2)))
 

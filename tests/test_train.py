@@ -721,6 +721,9 @@ def test_frame_inline_backward_matches_scan_path(train_setup):
         # the inline path (it always evaluates its own per-frame tail)
         dataclasses.replace(cfg, frame_inline_backward=True,
                             losses_outside_scan=False),
+        # memory knobs are never numerics knobs
+        dataclasses.replace(cfg, frame_inline_backward=True,
+                            encode_remat=False, inline_tail_remat=False),
     ]
     for cfg_il in variants:
         step_il = make_train_step(model, cfg_il, donate=False)
