@@ -26,10 +26,10 @@ import numpy as np
 V5E_PEAK_BF16 = 197e12
 
 RECIPES = {
-    # step_ms = round-5 frame-inline defaults (PERF.md round 5)
-    "sceneflow": dict(H=320, W=720, T=2, B=4, step_ms=522.0),
-    "tartanair": dict(H=480, W=640, T=4, B=4, step_ms=1371.4),
-    "kitti": dict(H=320, W=1024, T=4, B=4, step_ms=1522.9),
+    # step_ms = round-5 frame-inline + rolled-scan defaults (PERF.md round 5)
+    "sceneflow": dict(H=320, W=720, T=2, B=4, step_ms=498.4),
+    "tartanair": dict(H=480, W=640, T=4, B=4, step_ms=1346.4),
+    "kitti": dict(H=320, W=1024, T=4, B=4, step_ms=1426.9),
 }
 INFER = dict(H=384, W=1280, ms_per_frame=33.8)
 

@@ -37,11 +37,15 @@ class ModelConfig:
     # Max candidate disparity band suppressed around the main peak (px).
     argmax_suppress_radius: float = 1.5
     # lax.scan unroll factor for the GRU iteration loop (clamped to `iters`).
-    # Unrolling lets XLA fuse across iterations and drop the while-loop
-    # carry plumbing: measured 2188.5 → 2064.3 ms/train-step on the TartanAir
-    # recipe (+6% throughput) and neutral-to-slightly-faster at inference.
+    # Unroll factor of the GRU-iteration nn.scan. History: unrolling (5) won
+    # under the differentiated-scan train formulation (2188.5 → 2064.3
+    # ms/step round 1; re-confirmed rounds 3/4 — use 5 when selecting
+    # frame_inline_backward=False). Under the round-5 frame-INLINE backward
+    # the ROLLED scan wins on every recipe — TartanAir 1371.4 → 1346.4,
+    # SceneFlow 522.0 → 498.4, KITTI_raw 1522.9 → 1426.9 ms/step — and
+    # inference is neutral (29.43 vs 29.44 f/s), so 1 is the default.
     # May change bf16 rounding at fusion boundaries (loss Δ ~1e-4 relative).
-    scan_unroll: int = 5
+    scan_unroll: int = 1
     # Shared-backbone trunk with the two images packed along channels instead
     # of stacked on batch: exact numerics (block-diagonal kernels built from
     # the SAME stored weights at apply time), full 128-lane utilisation for
