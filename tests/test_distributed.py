@@ -118,7 +118,7 @@ def worker_results_2x4(tmp_path_factory):
     logs = []
     for p in procs:
         try:
-            log, _ = p.communicate(timeout=900)
+            log, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
